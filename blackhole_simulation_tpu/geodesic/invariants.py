@@ -43,7 +43,10 @@ def renormalize_null(y: jnp.ndarray, metric) -> jnp.ndarray:
     )
     disc = b_quad * b_quad - 4.0 * a_quad * c_quad
     valid = (disc >= 0.0) & (jnp.abs(a_quad) > 1e-12)
-    sqrt_d = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # Safe-where: sqrt sees a strictly positive argument on invalid lanes so
+    # its (masked-out) gradient stays finite — sqrt'(0) = inf would otherwise
+    # poison the backward pass through the 0 * inf = NaN route.
+    sqrt_d = jnp.sqrt(jnp.where(valid, jnp.maximum(disc, 1e-30), 1.0))
     denom = jnp.where(valid, 2.0 * a_quad, 1.0)
     sol1 = (-b_quad + sqrt_d) / denom
     sol2 = (-b_quad - sqrt_d) / denom

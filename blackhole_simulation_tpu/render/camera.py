@@ -1,0 +1,165 @@
+"""Pinhole camera -> batched null-ray initial states in the Kerr-Schild chart.
+
+Capability parity with the reference's per-pixel camera ray setup
+(src/shaders/compute.wgsl.ts:135-187: Halton-jittered pinhole rays + BL-style
+state init from the camera; src/shaders/blackhole/fragment.glsl.ts:49-61) —
+re-derived properly for the TPU build:
+
+The camera sits at Boyer-Lindquist (r, theta, phi). A ZAMO (zero-angular-
+momentum observer) tetrad at the camera gives the local orthonormal frame;
+each pixel's unit direction n in that frame lifts to a null 4-momentum
+p^mu = -u^mu + n^i e_(i)^mu (past-directed convention p_t ~ -1), which is
+lowered with the BL metric and transformed to the horizon-regular Kerr-Schild
+chart (p_r^KS = p_r^BL - (2Mr/Delta) p_t - (a/Delta) p_phi) where the march
+integrates. Everything is batched over pixels and differentiable w.r.t.
+camera and black-hole parameters.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from blackhole_simulation_tpu.geometry.metrics import (
+    Kerr,
+    kerr_cov_bl,
+    kerr_delta,
+    kerr_sigma,
+)
+from blackhole_simulation_tpu.geodesic.state import pack_state
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["r", "theta", "phi", "fov", "roll"],
+    meta_fields=["width", "height"],
+)
+@dataclasses.dataclass(frozen=True)
+class Camera:
+    """Pinhole camera in Boyer-Lindquist coordinates, looking at the hole.
+
+    fov is the full vertical field of view in radians. `roll` rotates the
+    image plane. width/height are static (they fix array shapes).
+    """
+
+    r: jnp.ndarray
+    theta: jnp.ndarray
+    phi: jnp.ndarray
+    fov: jnp.ndarray
+    roll: jnp.ndarray
+    width: int = 256
+    height: int = 256
+
+    @classmethod
+    def create(cls, r=30.0, theta=jnp.pi / 2 - 0.3, phi=0.0, fov=0.35, roll=0.0,
+               width=256, height=256):
+        f = jnp.asarray
+        return cls(r=f(r), theta=f(theta), phi=f(phi), fov=f(fov), roll=f(roll),
+                   width=int(width), height=int(height))
+
+
+def zamo_tetrad(m, a, r, theta):
+    """ZAMO orthonormal tetrad components in the BL coordinate basis.
+
+    Returns (u, e_r, e_th, e_ph): each a (..., 4) contravariant vector.
+    u = (1/alpha)(d_t + omega d_phi) with lapse alpha = sqrt(Delta Sigma / A),
+    omega = 2 M a r / A, A = (r^2+a^2)^2 - a^2 Delta sin^2 theta.
+    """
+    s = jnp.sin(theta)
+    s2 = jnp.maximum(s * s, 1e-12)
+    sig = kerr_sigma(a, r, theta)
+    delta = kerr_delta(m, a, r)
+    r2a2 = r * r + a * a
+    big_a = r2a2 * r2a2 - a * a * delta * s2
+    alpha = jnp.sqrt(jnp.maximum(delta * sig / big_a, 1e-30))
+    omega = 2.0 * m * a * r / big_a
+    z = jnp.zeros_like(r)
+    u = jnp.stack([1.0 / alpha, z, z, omega / alpha], axis=-1)
+    e_r = jnp.stack([z, jnp.sqrt(jnp.maximum(delta / sig, 1e-30)), z, z], axis=-1)
+    e_th = jnp.stack([z, z, 1.0 / jnp.sqrt(sig), z], axis=-1)
+    e_ph = jnp.stack(
+        [z, z, z, jnp.sqrt(jnp.maximum(sig / big_a, 1e-30)) / jnp.sqrt(s2)], axis=-1
+    )
+    return u, e_r, e_th, e_ph
+
+
+def bl_to_ks_momentum(m, a, r, p):
+    """Covariant momentum BL -> ingoing-KS: p_r += -(2Mr/Delta) p_t - (a/Delta) p_phi.
+
+    The same covector transform the chart-invariance test validates
+    (tests/test_geodesic.py::TestChartConsistency).
+    """
+    delta = kerr_delta(m, a, r)
+    shift = -(2.0 * m * r / delta) * p[..., 0] - (a / delta) * p[..., 3]
+    return p.at[..., 1].add(shift)
+
+
+def pixel_grid(width: int, height: int, jitter=None, dtype=jnp.float32):
+    """Normalized pixel coordinates (ndc_x, ndc_y) in [-1, 1], y up.
+
+    ``jitter``: optional (2,) sub-pixel offset in pixel units for
+    supersampled accumulation (the TAA-replacement path).
+    """
+    xs = (jnp.arange(width, dtype=dtype) + 0.5) / width
+    ys = (jnp.arange(height, dtype=dtype) + 0.5) / height
+    if jitter is not None:
+        xs = xs + jitter[0] / width
+        ys = ys + jitter[1] / height
+    ndc_x = xs * 2.0 - 1.0
+    ndc_y = 1.0 - ys * 2.0
+    return jnp.meshgrid(ndc_x, ndc_y, indexing="xy")
+
+
+def camera_rays(camera: Camera, bh: Kerr, jitter=None, dtype=jnp.float32):
+    """Build (H*W, 8) null-ray initial states in the Kerr-Schild chart.
+
+    The camera looks radially inward (at the hole); pixel directions fan out
+    by the field of view. Image x maps to -e_phi (so the approaching,
+    frame-dragged side is on the conventional side), image y to +e_theta
+    flipped into screen-up.
+    """
+    m, a = bh.mass, bh.spin
+    r0, th0, ph0 = camera.r, camera.theta, camera.phi
+    aspect = camera.width / camera.height
+    nx, ny = pixel_grid(camera.width, camera.height, jitter, dtype)
+    half = jnp.tan(camera.fov / 2.0)
+    cx = nx * half * aspect
+    cy = ny * half
+
+    cr, sr = jnp.cos(camera.roll), jnp.sin(camera.roll)
+    cx, cy = cx * cr - cy * sr, cx * sr + cy * cr
+
+    # Local unit direction: forward = -e_r (inward), right = -e_phi, up = -e_theta
+    # (theta increases downward from the pole, so screen-up is -e_theta).
+    inv_norm = 1.0 / jnp.sqrt(1.0 + cx * cx + cy * cy)
+    n_r = -inv_norm                 # inward
+    n_th = -cy * inv_norm           # screen up
+    n_ph = -cx * inv_norm           # screen right
+
+    u, e_r, e_th, e_ph = zamo_tetrad(m, a, r0, th0)
+    # Photon 4-momentum (contravariant, affine-normalized to local energy 1):
+    # p^mu = u^mu + n^i e_(i)^mu.
+    p_con = (
+        u
+        + n_r[..., None] * e_r
+        + n_th[..., None] * e_th
+        + n_ph[..., None] * e_ph
+    )
+    g_bl = kerr_cov_bl(m, a, r0, th0)
+    p_cov = jnp.einsum("ij,...j->...i", g_bl, p_con)
+    p_cov = bl_to_ks_momentum(m, a, r0, p_cov)
+
+    x0 = jnp.stack(
+        [
+            jnp.zeros_like(cx),
+            jnp.full_like(cx, r0),
+            jnp.full_like(cx, th0),
+            jnp.full_like(cx, ph0),
+        ],
+        axis=-1,
+    )
+    y0 = pack_state(x0, p_cov.astype(dtype))
+    return y0.reshape(-1, 8).astype(dtype)

@@ -1,0 +1,167 @@
+"""The render pipeline: scene -> supersampled image, one jitted program.
+
+The TPU analogue of the reference's frame loop (src/hooks/useAnimation.ts +
+WebGL/WebGPU renderers), with TAA replaced by supersampled accumulation:
+N Halton-jittered sub-pixel samples are rendered in one batched pass and
+averaged (the north-star requirement), instead of amortizing across frames.
+
+Composition order mirrors fragment.glsl.ts:224-331: background starfield for
+escaped rays, disk radiance accumulated during the march, photon-ring glow,
+horizon blackout that preserves foreground disk, then post (bloom + ACES).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from blackhole_simulation_tpu.geometry.metrics import KS, Kerr
+from blackhole_simulation_tpu.render.camera import Camera, camera_rays
+from blackhole_simulation_tpu.render.march import (
+    HIT_ESCAPE,
+    MarchConfig,
+    MarchResult,
+    march,
+)
+from blackhole_simulation_tpu.render.post import PostParams, tonemap
+from blackhole_simulation_tpu.render.shading import (
+    DiskParams,
+    StarfieldParams,
+    escape_direction,
+    make_disk_sampler,
+    starfield,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class Features:
+    """Feature toggles — the reference's #define conditional compilation
+    (src/shaders/manager.ts:57-83). Static fields select traced branches;
+    the jit cache keys on them exactly like the shader variant cache."""
+
+    disk: bool = True
+    starfield: bool = True
+    photon_ring_glow: bool = True
+
+    def __post_init__(self):
+        pass
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["bh", "camera"],
+    meta_fields=["disk", "stars", "features", "march_cfg", "post"],
+)
+@dataclasses.dataclass(frozen=True)
+class Scene:
+    """Full scene description. bh/camera are differentiable pytree leaves;
+    the rest are static config."""
+
+    bh: Kerr
+    camera: Camera
+    disk: DiskParams = DiskParams()
+    stars: StarfieldParams = StarfieldParams()
+    features: Features = Features()
+    march_cfg: MarchConfig = MarchConfig()
+    post: PostParams = PostParams()
+
+    @classmethod
+    def create(cls, mass=1.0, spin=0.9, camera=None, **kw):
+        bh = Kerr(mass=jnp.asarray(mass), spin=jnp.asarray(spin), chart=KS)
+        return cls(bh=bh, camera=camera or Camera.create(), **kw)
+
+
+def _halton(i: int, base: int) -> float:
+    f, r = 1.0, 0.0
+    while i > 0:
+        f /= base
+        r += f * (i % base)
+        i //= base
+    return r
+
+
+def halton_jitters(n: int):
+    """n Halton(2,3) sub-pixel offsets in [-0.5, 0.5]^2 (compute.wgsl.ts:135-157)."""
+    return jnp.array(
+        [[_halton(i + 1, 2) - 0.5, _halton(i + 1, 3) - 0.5] for i in range(n)]
+    )
+
+
+def shade_sample(result: MarchResult, bh: Kerr, scene: Scene, dtype) -> jnp.ndarray:
+    """Compose one sub-sample's (N, 3) radiance from a march result."""
+    escaped = result.hit == HIT_ESCAPE
+    rgb = result.disk_radiance
+
+    if scene.features.starfield:
+        d = escape_direction(result.state, bh)
+        bg = starfield(d, scene.stars)
+    else:
+        bg = jnp.zeros_like(rgb)
+    # Background shows through remaining transmittance on escaped rays only;
+    # captured rays keep the horizon black behind any foreground disk
+    # (fragment.glsl.ts:270-274).
+    rgb = rgb + jnp.where(escaped, result.transmittance, 0.0)[..., None] * bg
+
+    if scene.features.photon_ring_glow:
+        # e^{-k |r_min - r_ph|} glow on rays that skim the photon sphere
+        # (fragment.glsl.ts:246-257) — approximated by step count: orbiters
+        # burn many steps near r_ph.
+        r_ph = bh.photon_sphere().astype(dtype)
+        near = jnp.exp(
+            -6.0 * jnp.abs(result.state[..., 1] - r_ph) / jnp.maximum(r_ph, 1e-3)
+        )
+        orbit_frac = result.steps.astype(dtype) / scene.march_cfg.max_steps
+        glow = 0.35 * near * orbit_frac**2
+        warm = jnp.array([1.0, 0.82, 0.55], dtype=dtype)
+        rgb = rgb + glow[..., None] * warm
+    return rgb
+
+
+def render_sample(scene: Scene, jitter, dtype=jnp.float32) -> jnp.ndarray:
+    """Render one jittered sub-sample: (H*W, 3) linear radiance."""
+    bh = Kerr(
+        mass=scene.bh.mass.astype(dtype),
+        spin=scene.bh.spin.astype(dtype),
+        chart=KS,
+    )
+    rays = camera_rays(scene.camera, bh, jitter=jitter, dtype=dtype)
+    sampler = make_disk_sampler(scene.disk) if scene.features.disk else None
+    result = march(rays, bh, scene.march_cfg, disk_sampler=sampler)
+    return shade_sample(result, bh, scene, dtype)
+
+
+@partial(jax.jit, static_argnames=("n_samples", "dtype"))
+def render(scene: Scene, n_samples: int = 1, dtype=jnp.float32) -> jnp.ndarray:
+    """Render the scene to a tone-mapped (H, W, 3) image.
+
+    ``n_samples`` Halton-jittered sub-pixel samples are marched in one
+    batched program (scan over samples keeps peak memory at one sample) and
+    averaged — supersampled accumulation replacing the reference's TAA.
+    """
+    cam = scene.camera
+    jitters = halton_jitters(n_samples).astype(dtype)
+
+    if n_samples == 1:
+        acc = render_sample(scene, None, dtype)
+    else:
+        def body(carry, jit_off):
+            return carry + render_sample(scene, jit_off, dtype), None
+
+        init = jnp.zeros((cam.width * cam.height, 3), dtype=dtype)
+        acc, _ = jax.lax.scan(body, init, jitters)
+        acc = acc / n_samples
+
+    img = acc.reshape(cam.height, cam.width, 3)
+    return tonemap(img, scene.post)
+
+
+@partial(jax.jit, static_argnames=("dtype",))
+def render_radiance(scene: Scene, dtype=jnp.float32) -> jnp.ndarray:
+    """Un-tonemapped single-sample radiance (H, W, 3) — the differentiable
+    target used by inverse rendering and oracle validation."""
+    cam = scene.camera
+    acc = render_sample(scene, None, dtype)
+    return acc.reshape(cam.height, cam.width, 3)

@@ -1,0 +1,288 @@
+"""Shading: thin-disk emission with GR redshift, blackbody colors, starfield.
+
+Capability parity with the reference's shader chunks, re-derived as jnp:
+ - disk sampling with equator-crossing detection, Novikov-Thorne radial
+   temperature, exact equatorial GR Doppler factor, and beaming
+   (src/shaders/chunks/disk.ts:16-111),
+ - analytic blackbody temperature -> linear RGB ramp
+   (src/shaders/chunks/blackbody.ts:9-46),
+ - hash-noise fbm turbulence (src/shaders/chunks/noise.ts:3-46) — built on an
+   integer PCG-style hash (uint32 vector ops, TPU-friendly) instead of the
+   fract(sin) trick,
+ - two-scale hashed starfield + fbm nebula background
+   (src/shaders/chunks/background.ts:3-30).
+
+The g-factor uses the photon's conserved lambda = -p_phi/p_t against the
+Keplerian emitter (Cunningham form, physics/redshift.py) — exact, not the
+SR approximation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from blackhole_simulation_tpu.geometry.metrics import Kerr
+
+
+# ---------------------------------------------------------------------------
+# Integer hash noise (chunks/noise.ts parity, PCG-style instead of fract(sin))
+# ---------------------------------------------------------------------------
+
+def _pcg(v: jnp.ndarray) -> jnp.ndarray:
+    """PCG-ish uint32 mix; v: uint32 array -> uint32 array."""
+    v = v * jnp.uint32(747796405) + jnp.uint32(2891336453)
+    v = ((v >> jnp.uint32(((v >> 28) + 4) & 31)) ^ v) * jnp.uint32(277803737)
+    return (v >> 22) ^ v
+
+def hash21(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """2-D lattice hash -> float in [0, 1)."""
+    xi = x.astype(jnp.int32).astype(jnp.uint32)
+    yi = y.astype(jnp.int32).astype(jnp.uint32)
+    h = _pcg(xi ^ _pcg(yi))
+    return (h >> 8).astype(jnp.float32) / jnp.float32(1 << 24)
+
+
+def hash31(x: jnp.ndarray, y: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
+    xi = x.astype(jnp.int32).astype(jnp.uint32)
+    yi = y.astype(jnp.int32).astype(jnp.uint32)
+    zi = z.astype(jnp.int32).astype(jnp.uint32)
+    h = _pcg(xi ^ _pcg(yi ^ _pcg(zi)))
+    return (h >> 8).astype(jnp.float32) / jnp.float32(1 << 24)
+
+
+def _smooth(t):
+    return t * t * (3.0 - 2.0 * t)
+
+
+def value_noise2(x, y):
+    """Smoothed 2-D value noise in [0, 1)."""
+    xf, yf = jnp.floor(x), jnp.floor(y)
+    tx, ty = _smooth(x - xf), _smooth(y - yf)
+    c00 = hash21(xf, yf)
+    c10 = hash21(xf + 1, yf)
+    c01 = hash21(xf, yf + 1)
+    c11 = hash21(xf + 1, yf + 1)
+    return (
+        c00 * (1 - tx) * (1 - ty)
+        + c10 * tx * (1 - ty)
+        + c01 * (1 - tx) * ty
+        + c11 * tx * ty
+    )
+
+
+def fbm2(x, y, octaves: int = 4):
+    """4-octave fractal value noise (chunks/noise.ts fbm)."""
+    total = jnp.zeros_like(jnp.asarray(x, dtype=jnp.float32))
+    amp, freq = 0.5, 1.0
+    for _ in range(octaves):
+        total = total + amp * value_noise2(x * freq, y * freq)
+        amp *= 0.5
+        freq *= 2.0
+    return total
+
+
+# ---------------------------------------------------------------------------
+# Blackbody color ramp (chunks/blackbody.ts parity)
+# ---------------------------------------------------------------------------
+
+def blackbody_ramp(t_kelvin):
+    """Analytic blackbody T -> linear RGB (Tanner-Helland-style fit domain
+    1000K-40000K), vectorized; chromaticity only (intensity handled by the
+    caller via g^4 / T^4 weights)."""
+    t = jnp.clip(jnp.asarray(t_kelvin), 1000.0, 40000.0) / 100.0
+    # red
+    red = jnp.where(
+        t <= 66.0, 255.0, 329.698727446 * jnp.maximum(t - 60.0, 1e-6) ** -0.1332047592
+    )
+    # green
+    g_lo = 99.4708025861 * jnp.log(jnp.maximum(t, 1e-6)) - 161.1195681661
+    g_hi = 288.1221695283 * jnp.maximum(t - 60.0, 1e-6) ** -0.0755148492
+    green = jnp.where(t <= 66.0, g_lo, g_hi)
+    # blue
+    b_lo = 138.5177312231 * jnp.log(jnp.maximum(t - 10.0, 1e-6)) - 305.0447927307
+    blue = jnp.where(t >= 66.0, 255.0, jnp.where(t <= 19.0, 0.0, b_lo))
+    rgb = jnp.stack([red, green, blue], axis=-1) / 255.0
+    rgb = jnp.clip(rgb, 0.0, 1.0)
+    return rgb * rgb  # sRGB-ish -> linear
+
+
+# ---------------------------------------------------------------------------
+# Thin accretion disk (chunks/disk.ts parity)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class DiskParams:
+    """Static disk configuration (SIMULATION_CONFIG disk params)."""
+
+    outer_radius: float = 18.0
+    density: float = 0.7          # overall opacity scale
+    t_peak: float = 9000.0        # peak color temperature (display scale), K
+    beaming_exponent: float = 4.0 # Liouville g^4 (reference uses delta^3.5)
+    turbulence: float = 0.6       # noise modulation amount
+    inner_edge_softness: float = 0.35
+    outer_falloff: float = 4.0    # radial emissivity falloff power
+
+
+def nt_temperature_profile(r, r_in, dtype=jnp.float32):
+    """Zero-torque Novikov-Thorne radial temperature shape
+    T(r) ~ (1 - sqrt(r_in/r))^{1/4} (r_in/r)^{3/4} (chunks/disk.ts:99-106),
+    normalized to peak 1."""
+    x = jnp.maximum(r / r_in, 1.0 + 1e-6)
+    shape = (1.0 - jnp.sqrt(1.0 / x)) ** 0.25 * x ** -0.75
+    # Analytic peak of the shape at x = 49/36.
+    xp = 49.0 / 36.0
+    peak = (1.0 - jnp.sqrt(1.0 / xp)) ** 0.25 * xp ** -0.75
+    return (shape / peak).astype(dtype)
+
+
+def equatorial_g_factor(m, a, r, lam, dtype=jnp.float32):
+    """Cunningham g-factor for a prograde Keplerian emitter at equatorial r
+    seen by a photon with conserved lam = L_z/E (chunks/disk.ts:67-90 exact
+    form; physics/redshift.py f64 twin)."""
+    r = jnp.maximum(r, 1.05)  # guard: emitters exist only outside the ISCO anyway
+    two_mr = 2.0 * m * r
+    sig = r * r  # equatorial Sigma = r^2
+    g_tt = -(1.0 - two_mr / sig)
+    g_tph = -two_mr * a / sig
+    g_phph = r * r + a * a + two_mr * a * a / sig
+    omega = jnp.sqrt(m) / (r ** 1.5 + a * jnp.sqrt(m))
+    ut_inv_sq = -(g_tt + 2.0 * omega * g_tph + omega * omega * g_phph)
+    u_t = 1.0 / jnp.sqrt(jnp.maximum(ut_inv_sq, 1e-6))
+    doppler = 1.0 - lam * omega
+    doppler = jnp.where(jnp.abs(doppler) < 1e-4, 1e-4, doppler)
+    return (1.0 / (u_t * doppler)).astype(dtype)
+
+
+def make_disk_sampler(disk: DiskParams):
+    """Build a ``disk_sampler(y_prev, y_next, bh)`` for render.march.
+
+    Detects the equator crossing between two substates (sign change of
+    cos(theta)), interpolates the crossing (r, phi), rejects crossings
+    outside [ISCO, outer_radius], and returns (rgb, alpha, crossed):
+    blackbody color at g * T(r) with g^beaming intensity and noise-modulated
+    alpha (chunks/disk.ts:22-111).
+    """
+
+    def sampler(y_prev, y_next, bh: Kerr):
+        dtype = y_prev.dtype
+        m = bh.mass.astype(dtype)
+        a = bh.spin.astype(dtype)
+        r_in = bh.isco().astype(dtype)
+
+        c0 = jnp.cos(y_prev[..., 2])
+        c1 = jnp.cos(y_next[..., 2])
+        crossed_plane = (c0 * c1) < 0.0
+        frac = jnp.clip(
+            c0 / jnp.where(jnp.abs(c0 - c1) < 1e-12, 1e-12, c0 - c1), 0.0, 1.0
+        )
+        r_c = y_prev[..., 1] + frac * (y_next[..., 1] - y_prev[..., 1])
+        phi_c = y_prev[..., 3] + frac * (y_next[..., 3] - y_prev[..., 3])
+        in_disk = (r_c > r_in) & (r_c < disk.outer_radius)
+        crossed = crossed_plane & in_disk
+        # Sanitize the non-crossing lanes so no inf/NaN flows into the math
+        # below (0 * NaN would poison the masked accumulate in the march).
+        r_c = jnp.where(crossed, r_c, r_in * 2.0)
+        phi_c = jnp.where(crossed, phi_c, 0.0)
+
+        # Photon's conserved impact parameter lambda = L_z / E = -p_phi/p_t.
+        lam = -y_prev[..., 7] / jnp.where(
+            jnp.abs(y_prev[..., 4]) < 1e-12, -1.0, y_prev[..., 4]
+        )
+        g = equatorial_g_factor(m, a, jnp.maximum(r_c, r_in), lam, dtype)
+        g = jnp.clip(g, 0.05, 5.0)  # LUT g-range guard (spectrum.rs:76-102)
+
+        t_shape = nt_temperature_profile(jnp.maximum(r_c, r_in * (1 + 1e-4)), r_in, dtype)
+        t_obs = jnp.clip(g * t_shape * disk.t_peak, 1000.0, 40000.0)
+        color = blackbody_ramp(t_obs).astype(dtype)
+
+        # Keplerian-phase-rotated turbulence (chunks/disk.ts:42-61): rotate
+        # the noise field by the local orbital phase so structure shears.
+        omega_k = jnp.sqrt(m) / (jnp.maximum(r_c, r_in) ** 1.5 + a * jnp.sqrt(m))
+        phase = phi_c - omega_k * y_prev[..., 0]
+        noise = fbm2(r_c * 1.7, phase * 3.0, octaves=3).astype(dtype)
+        turb = 1.0 - disk.turbulence + disk.turbulence * (0.4 + 1.2 * noise)
+
+        # Radial emissivity/opacity profile with soft edges.
+        inner = jnp.clip((r_c - r_in) / (disk.inner_edge_softness * r_in + 1e-6), 0.0, 1.0)
+        outer = (jnp.maximum(r_in, r_c) / r_in) ** (-disk.outer_falloff * 0.5)
+        edge = _smooth(inner) * jnp.clip(
+            (disk.outer_radius - r_c) / (0.15 * disk.outer_radius), 0.0, 1.0
+        )
+        alpha = jnp.clip(disk.density * edge * turb, 0.0, 1.0).astype(dtype)
+
+        intensity = (g ** disk.beaming_exponent) * t_shape**4 * outer
+        rgb = color * intensity[..., None]
+        return rgb, alpha, crossed
+
+    return sampler
+
+
+# ---------------------------------------------------------------------------
+# Background starfield (chunks/background.ts parity)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class StarfieldParams:
+    density: float = 0.0015       # stars per cell at the fine scale
+    brightness: float = 1.4
+    nebula: float = 0.12
+    cells: float = 160.0          # angular cell frequency
+
+
+def escape_direction(y, bh: Kerr):
+    """Unit Cartesian direction of an escaped ray from its far-field momentum.
+
+    At the escape radius spacetime is nearly flat: the local orthonormal
+    components are (p^r, r p^theta, r sin(theta) p^phi) rotated by the
+    position angles.
+    """
+    dtype = y.dtype
+    r, th, ph = y[..., 1], y[..., 2], y[..., 3]
+    g_inv = bh.contravariant(r, th)
+    p_con = jnp.einsum("...ij,...j->...i", g_inv, y[..., 4:])
+    v_r = p_con[..., 1]
+    v_th = r * p_con[..., 2]
+    v_ph = r * jnp.sin(th) * p_con[..., 3]
+    st, ct = jnp.sin(th), jnp.cos(th)
+    sp, cp = jnp.sin(ph), jnp.cos(ph)
+    # Spherical basis -> Cartesian.
+    dx = v_r * st * cp + v_th * ct * cp - v_ph * sp
+    dy = v_r * st * sp + v_th * ct * sp + v_ph * cp
+    dz = v_r * ct - v_th * st
+    d = jnp.stack([dx, dy, dz], axis=-1)
+    return (d / jnp.linalg.norm(d, axis=-1, keepdims=True)).astype(dtype)
+
+
+def starfield(direction, params: StarfieldParams = StarfieldParams()):
+    """Two-scale hashed starfield + fbm nebula (chunks/background.ts:3-30).
+
+    ``direction``: (..., 3) unit vectors. Returns (..., 3) linear RGB.
+    """
+    dtype = direction.dtype
+    # Equal-area-ish angular coordinates to hash on.
+    dz = jnp.clip(direction[..., 2], -1.0, 1.0)
+    u = jnp.arctan2(direction[..., 1], direction[..., 0])
+    v = dz
+
+    out = jnp.zeros(direction.shape[:-1] + (3,), dtype=jnp.float32)
+    for freq, scale in ((params.cells, 1.0), (params.cells * 0.35, 2.2)):
+        cu = jnp.floor(u * freq)
+        cv = jnp.floor(v * freq)
+        h = hash21(cu, cv)
+        star = (h < params.density * scale * 300.0).astype(jnp.float32)
+        fu = u * freq - cu - 0.5
+        fv = v * freq - cv - 0.5
+        spot = jnp.exp(-(fu * fu + fv * fv) * 40.0)
+        temp = 3000.0 + 12000.0 * hash21(cu + 7, cv + 13)
+        color = blackbody_ramp(temp)
+        mag = hash21(cu + 31, cv + 5) ** 3
+        out = out + (star * spot * mag)[..., None] * color
+    nebula = fbm2(u * 3.0, v * 3.0, octaves=4)
+    neb_color = jnp.stack(
+        [0.35 * nebula**2, 0.2 * nebula**2, 0.5 * nebula**1.5], axis=-1
+    )
+    return (params.brightness * out + params.nebula * neb_color).astype(dtype)
