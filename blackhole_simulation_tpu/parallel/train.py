@@ -1,0 +1,155 @@
+"""SPMD inverse rendering: recover scene parameters from a target image.
+
+BASELINE configs[3]: gradient descent on (spin, inclination, disk params)
+against a target image, with rays data-parallel over the mesh and the tiny
+parameter gradient all-reduced with ``psum`` over ICI (SURVEY.md §5.8) —
+the "training step" of this framework. The backward sweep through the march
+is the long-sequence analogue; ``jax.checkpoint`` on the step loop bounds
+its memory (see ops/ for the kernel-level treatment).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from blackhole_simulation_tpu.geometry.metrics import KS, Kerr
+from blackhole_simulation_tpu.render.camera import Camera, camera_rays_indexed
+from blackhole_simulation_tpu.render.march import march
+from blackhole_simulation_tpu.render.pipeline import Scene, shade_sample
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["spin", "theta_cam", "log_density", "log_t_peak"],
+    meta_fields=[],
+)
+@dataclasses.dataclass(frozen=True)
+class InverseParams:
+    """The recoverable scene parameters (BASELINE configs[3])."""
+
+    spin: jnp.ndarray
+    theta_cam: jnp.ndarray
+    log_density: jnp.ndarray
+    log_t_peak: jnp.ndarray
+
+    @classmethod
+    def init(cls, spin=0.5, theta_cam=1.3, density=0.7, t_peak=9000.0, dtype=jnp.float32):
+        f = lambda v: jnp.asarray(v, dtype)
+        return cls(
+            spin=f(spin),
+            theta_cam=f(theta_cam),
+            log_density=jnp.log(f(density)),
+            log_t_peak=jnp.log(f(t_peak)),
+        )
+
+
+def _forward(params: InverseParams, scene: Scene, pix_ids, dtype):
+    """Radiance (len(pix_ids), 3) for the parameterized scene — building only
+    the rays this shard owns (camera_rays_indexed)."""
+    bh = Kerr(mass=scene.bh.mass.astype(dtype), spin=params.spin, chart=KS)
+    cam = dataclasses.replace(scene.camera, theta=params.theta_cam)
+    disk = dataclasses.replace(scene.disk, density=1.0)  # folded in below
+    from blackhole_simulation_tpu.render.shading import make_disk_sampler
+
+    base_sampler = make_disk_sampler(disk)
+
+    def sampler(y0, y1, bh_):
+        rgb, alpha, crossed = base_sampler(y0, y1, bh_)
+        dens = jnp.exp(params.log_density).astype(dtype)
+        scale = jnp.exp(params.log_t_peak - jnp.log(scene.disk.t_peak)).astype(dtype)
+        return rgb * scale, jnp.clip(alpha * dens, 0.0, 1.0), crossed
+
+    rays = camera_rays_indexed(cam, bh, pix_ids, dtype=dtype)
+    result = march(rays, bh, scene.march_cfg, disk_sampler=sampler)
+    return shade_sample(result, bh, scene, dtype)
+
+
+def make_inverse_step(scene: Scene, mesh: Mesh | None = None, lr=2e-2, dtype=jnp.float32):
+    """Build a jitted SPMD step: (params, target) -> (params', loss).
+
+    With a mesh, rays shard over it inside shard_map and the parameter
+    gradient is psum'd over the mesh axes (the ICI all-reduce); without one,
+    it is the plain single-device step.
+    """
+    axis_names = mesh.axis_names if mesh is not None else ()
+
+    def loss_and_grad(params, target_flat, pix_ids):
+        def loss_fn(p):
+            rgb = _forward(p, scene, pix_ids, dtype)
+            return jnp.sum((rgb - target_flat) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        return loss, grads
+
+    def apply_update(params, grads, n_pix):
+        # Clip the per-pixel-normalized gradient by global norm: photon-ring
+        # pixels have enormous d(radiance)/d(spin), and one unclipped step can
+        # slam spin into the extremal boundary where fp32 gradients blow up.
+        g = jax.tree.map(lambda v: v / n_pix, grads)
+        gnorm = jnp.sqrt(sum(jnp.sum(v * v) for v in jax.tree.leaves(g)))
+        scale = jnp.minimum(1.0, 1.0 / jnp.maximum(gnorm, 1e-12))
+        upd = jax.tree.map(lambda p, v: p - lr * scale * v, params, g)
+        # Keep spin strictly sub-extremal (fp32 headroom at a ~ 1).
+        return dataclasses.replace(upd, spin=jnp.clip(upd.spin, -0.998, 0.998))
+
+    n_pix = scene.camera.width * scene.camera.height
+
+    if mesh is None:
+        @jax.jit
+        def step(params, target):
+            pix_ids = jnp.arange(n_pix)
+            loss, grads = loss_and_grad(params, target.reshape(-1, 3), pix_ids)
+            return apply_update(params, grads, n_pix), loss / n_pix
+
+        return step
+
+    n_dev = mesh.devices.size
+    if n_pix % n_dev != 0:
+        raise ValueError(
+            f"pixel count {n_pix} must divide the mesh size {n_dev} for the "
+            "sharded inverse step"
+        )
+
+    def sharded_body(params, target_shard, pix_shard):
+        # Each device builds and marches only its own pixel shard; the tiny
+        # parameter gradient is the ICI all-reduce.
+        loss, grads = loss_and_grad(params, target_shard, pix_shard)
+        loss = jax.lax.psum(loss, axis_names)
+        grads = jax.lax.psum(grads, axis_names)
+        return loss, grads
+
+    spec_shard = P(axis_names, None)
+
+    @jax.jit
+    def step(params, target):
+        target_flat = target.reshape(-1, 3)
+        pix_ids = jnp.arange(n_pix)
+        loss, grads = shard_map(
+            sharded_body,
+            mesh=mesh,
+            in_specs=(P(), spec_shard, P(axis_names)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )(params, target_flat, pix_ids)
+        return apply_update(params, grads, n_pix), loss / n_pix
+
+    return step
+
+
+def inverse_render(scene: Scene, target, n_steps=100, mesh: Mesh | None = None,
+                   lr=2e-2, init: InverseParams | None = None, dtype=jnp.float32):
+    """Run the inverse-rendering optimization; returns (params, loss_history)."""
+    step = make_inverse_step(scene, mesh, lr, dtype)
+    params = init or InverseParams.init(dtype=dtype)
+    losses = []
+    target = jnp.asarray(target, dtype)
+    for _ in range(n_steps):
+        params, loss = step(params, target)
+        losses.append(float(loss))
+    return params, losses

@@ -8,6 +8,7 @@ from blackhole_simulation_tpu.render.camera import (
     Camera,
     bl_to_ks_momentum,
     camera_rays,
+    camera_rays_indexed,
     zamo_tetrad,
 )
 from blackhole_simulation_tpu.render.march import (
@@ -40,6 +41,7 @@ __all__ = [
     "Camera",
     "bl_to_ks_momentum",
     "camera_rays",
+    "camera_rays_indexed",
     "zamo_tetrad",
     "HIT_ESCAPE",
     "HIT_HORIZON",

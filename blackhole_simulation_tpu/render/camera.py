@@ -113,6 +113,23 @@ def pixel_grid(width: int, height: int, jitter=None, dtype=jnp.float32):
     return jnp.meshgrid(ndc_x, ndc_y, indexing="xy")
 
 
+def camera_rays_indexed(camera: Camera, bh: Kerr, pix_ids: jnp.ndarray,
+                        jitter=None, dtype=jnp.float32):
+    """Build (len(pix_ids), 8) null-ray states for the given flat pixel ids.
+
+    ``pix_ids`` indexes row-major (iy * width + ix) — this is what lets a
+    device mesh build only its own ray shard inside shard_map instead of
+    scattering a host-built buffer.
+    """
+    ix = (pix_ids % camera.width).astype(dtype)
+    iy = (pix_ids // camera.width).astype(dtype)
+    jx = jitter[0] if jitter is not None else 0.0
+    jy = jitter[1] if jitter is not None else 0.0
+    nx = (ix + 0.5 + jx) / camera.width * 2.0 - 1.0
+    ny = 1.0 - (iy + 0.5 + jy) / camera.height * 2.0
+    return _rays_from_ndc(camera, bh, nx, ny, dtype)
+
+
 def camera_rays(camera: Camera, bh: Kerr, jitter=None, dtype=jnp.float32):
     """Build (H*W, 8) null-ray initial states in the Kerr-Schild chart.
 
@@ -121,10 +138,14 @@ def camera_rays(camera: Camera, bh: Kerr, jitter=None, dtype=jnp.float32):
     frame-dragged side is on the conventional side), image y to +e_theta
     flipped into screen-up.
     """
+    nx, ny = pixel_grid(camera.width, camera.height, jitter, dtype)
+    return _rays_from_ndc(camera, bh, nx.reshape(-1), ny.reshape(-1), dtype)
+
+
+def _rays_from_ndc(camera: Camera, bh: Kerr, nx, ny, dtype):
     m, a = bh.mass, bh.spin
     r0, th0, ph0 = camera.r, camera.theta, camera.phi
     aspect = camera.width / camera.height
-    nx, ny = pixel_grid(camera.width, camera.height, jitter, dtype)
     half = jnp.tan(camera.fov / 2.0)
     cx = nx * half * aspect
     cy = ny * half

@@ -96,7 +96,12 @@ def shade_sample(result: MarchResult, bh: Kerr, scene: Scene, dtype) -> jnp.ndar
     rgb = result.disk_radiance
 
     if scene.features.starfield:
-        d = escape_direction(result.state, bh)
+        # Evaluate the background only from escaped-ray states; captured rays
+        # get a fixed dummy far-field state so no garbage (or NaN gradient)
+        # flows through the masked-out lanes (0 * NaN poisons both passes).
+        dummy = jnp.array([0.0, 100.0, 1.5707964, 0.0, -1.0, -1.0, 0.0, 0.0], dtype)
+        safe_state = jnp.where(escaped[..., None], result.state, dummy)
+        d = escape_direction(safe_state, bh)
         bg = starfield(d, scene.stars)
     else:
         bg = jnp.zeros_like(rgb)

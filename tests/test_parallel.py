@@ -1,0 +1,78 @@
+"""Multi-device tests on the 8-virtual-device CPU mesh (conftest).
+
+The TPU analogue of the reference's mock-GL backend tests: validate that the
+sharded programs compile, run, and agree bit-for-bit (or allclose) with the
+single-device path — SURVEY.md §4 "multi-node without a cluster".
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from blackhole_simulation_tpu.parallel import (
+    InverseParams,
+    inverse_render,
+    make_inverse_step,
+    make_mesh,
+    render_sharded,
+)
+from blackhole_simulation_tpu.render import Camera, Features, Scene, render
+
+
+def small_scene(width=32, height=16, spin=0.9):
+    cam = Camera.create(r=30.0, theta=jnp.pi / 2 - 0.25, fov=0.5, width=width, height=height)
+    return Scene.create(mass=1.0, spin=spin, camera=cam)
+
+
+class TestShardedRender:
+    def test_eight_devices_available(self):
+        assert jax.device_count() >= 8
+
+    def test_sharded_matches_single_device(self):
+        scene = small_scene()
+        mesh = make_mesh(8)
+        img_sharded = np.asarray(render_sharded(scene, mesh))
+        img_single = np.asarray(render(scene, n_samples=1))
+        # fp32: XLA fuses/schedules the sharded program differently, so a few
+        # boundary pixels differ at the last-ulp level.
+        np.testing.assert_allclose(img_sharded, img_single, atol=5e-4)
+
+    def test_nondivisible_pixel_count_pads(self):
+        scene = small_scene(width=30, height=11)  # 330 pixels, not / 8
+        mesh = make_mesh(8)
+        img = np.asarray(render_sharded(scene, mesh))
+        assert img.shape == (11, 30, 3)
+        assert np.all(np.isfinite(img))
+
+
+class TestInverseStep:
+    def test_sharded_step_matches_unsharded(self):
+        scene = small_scene(width=32, height=16, spin=0.8)
+        target = jnp.zeros((16, 32, 3), jnp.float32)
+        mesh = make_mesh(8)
+        p0 = InverseParams.init(spin=0.5, dtype=jnp.float32)
+        step_1 = make_inverse_step(scene, None)
+        step_8 = make_inverse_step(scene, mesh)
+        p1, l1 = step_1(p0, target)
+        p8, l8 = step_8(p0, target)
+        # fp32 psum reduction order differs from the single-device sum.
+        np.testing.assert_allclose(float(l1), float(l8), rtol=1e-4)
+        np.testing.assert_allclose(float(p1.spin), float(p8.spin), atol=5e-5)
+
+    def test_inverse_recovers_spin(self):
+        """Recover the spin from a target image rendered at a different spin —
+        BASELINE configs[3] in miniature."""
+        scene_true = small_scene(width=24, height=16, spin=0.85)
+        from blackhole_simulation_tpu.render import render_radiance
+
+        target = render_radiance(scene_true)
+        scene_guess = small_scene(width=24, height=16, spin=0.85)
+        params, losses = inverse_render(
+            scene_guess,
+            target,
+            n_steps=60,
+            init=InverseParams.init(spin=0.55, theta_cam=float(scene_true.camera.theta)),
+            lr=0.05,
+        )
+        assert losses[-1] < losses[0] * 0.5
+        assert abs(float(params.spin) - 0.85) < abs(0.55 - 0.85)
