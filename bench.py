@@ -32,6 +32,12 @@ def main() -> None:
 
     import jax
 
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/bh_tpu_jit_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass  # cache flags unavailable on some jax versions
+
     platform = jax.default_backend()
     if args.ci and platform == "cpu":
         width, height = 192, 108
@@ -62,17 +68,26 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    def frame():
+        # Reduce to a scalar ON DEVICE and fetch it: block_until_ready is not
+        # trustworthy on experimental backends (axon), but a host fetch
+        # cannot complete before the computation has.
+        img = render(scene, n_samples=1)
+        return float(jnp.sum(img))
+
     # Warmup / compile.
     t0 = time.perf_counter()
-    img = render(scene, n_samples=1)
-    jax.block_until_ready(img)
-    print(f"bench: compile+first frame {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    checksum = frame()
+    print(
+        f"bench: compile+first frame {time.perf_counter() - t0:.1f}s "
+        f"(checksum {checksum:.1f})",
+        file=sys.stderr,
+    )
 
     times = []
     for _ in range(args.frames):
         t0 = time.perf_counter()
-        img = render(scene, n_samples=1)
-        jax.block_until_ready(img)
+        frame()
         times.append(time.perf_counter() - t0)
 
     best = min(times)

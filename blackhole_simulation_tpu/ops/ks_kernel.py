@@ -1,0 +1,149 @@
+"""Sparse scalar-component Kerr-Schild geodesic kernel (the hot path).
+
+Everything is flat (...,) lane arrays — zero 4x4 tensors, zero einsums, zero
+autodiff inside the step. The Hamiltonian derivatives are hand-derived
+closed forms of the ingoing-KS Hamiltonian
+
+    H = 1/2 [ -(1+h) p_t^2 + 2 h p_t p_r + (D/S) p_r^2 + (2a/S) p_r p_phi
+              + p_th^2 / S + p_phi^2 / (S s2) ],
+
+    h = 2 M r / S,  S = r^2 + a^2 cos^2(th),  D = r^2 - 2 M r + a^2,
+    s2 = sin^2(th),
+
+the same analytic-expansion strategy as the reference's hand-expanded
+Kerr-Schild derivatives (gravitas-core/src/metric/kerr.rs:442-499), derived
+independently for this exact form. Validated against the autodiff metric
+path (tests/test_ops.py) to fp64 round-off.
+
+Derivatives used (S_r = 2r, S_th = -a^2 sin(2 th), D_r = 2r - 2M):
+    h_r      = 2M (S - 2 r^2) / S^2
+    h_th     = -2 M r S_th / S^2
+    (D/S)_r  = (D_r S - D S_r) / S^2
+    (D/S)_th = -D S_th / S^2
+    (1/S)_r  = -S_r / S^2        (1/S)_th  = -S_th / S^2
+    (1/(S s2))_r  = -S_r / (S^2 s2)
+    (1/(S s2))_th = -(S_th s2 + S sin(2 th)) / (S s2)^2
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+_SIN2_EPS = 1e-12
+
+
+def _geom(m, a, r, th):
+    """Shared geometric quantities for one evaluation point."""
+    s = jnp.sin(th)
+    c = jnp.cos(th)
+    s2 = jnp.maximum(s * s, _SIN2_EPS)
+    sin2t = 2.0 * s * c  # sin(2 th)
+    S = r * r + a * a * c * c
+    D = r * r - 2.0 * m * r + a * a
+    inv_S = 1.0 / S
+    h = 2.0 * m * r * inv_S
+    return s2, sin2t, S, D, inv_S, h
+
+
+def ks_hamiltonian(m, a, y):
+    """H for packed state y: (...,8) -> (...). Sparse scalar form."""
+    r, th = y[..., 1], y[..., 2]
+    pt, pr, pth, pph = y[..., 4], y[..., 5], y[..., 6], y[..., 7]
+    s2, _, S, D, inv_S, h = _geom(m, a, r, th)
+    return 0.5 * (
+        -(1.0 + h) * pt * pt
+        + 2.0 * h * pt * pr
+        + D * inv_S * pr * pr
+        + 2.0 * a * inv_S * pr * pph
+        + pth * pth * inv_S
+        + pph * pph * inv_S / s2
+    )
+
+
+def ks_rhs(m, a, y):
+    """dy/dlambda for the ingoing-KS chart, packed (...,8) -> (...,8).
+
+    dx^mu/dlam = g^{mu nu} p_nu with the sparse contravariant components
+    (g^tt=-(1+h), g^tr=h, g^rr=D/S, g^rphi=a/S, g^thth=1/S,
+    g^phph=1/(S s2)); dp_r = -dH/dr, dp_th = -dH/dth; p_t, p_phi conserved.
+    """
+    r, th = y[..., 1], y[..., 2]
+    pt, pr, pth, pph = y[..., 4], y[..., 5], y[..., 6], y[..., 7]
+    s2, sin2t, S, D, inv_S, h = _geom(m, a, r, th)
+    inv_S2 = inv_S * inv_S
+
+    # --- dx/dlam ---
+    dt = -(1.0 + h) * pt + h * pr
+    dr = h * pt + D * inv_S * pr + a * inv_S * pph
+    dth = pth * inv_S
+    dph = a * inv_S * pr + pph * inv_S / s2
+
+    # --- dH/dr ---
+    S_r = 2.0 * r
+    D_r = 2.0 * r - 2.0 * m
+    h_r = 2.0 * m * (S - 2.0 * r * r) * inv_S2
+    DS_r = (D_r * S - D * S_r) * inv_S2
+    invS_r = -S_r * inv_S2
+    invSs2_r = -S_r * inv_S2 / s2
+    dH_dr = 0.5 * (
+        -h_r * pt * pt
+        + 2.0 * h_r * pt * pr
+        + DS_r * pr * pr
+        + 2.0 * a * invS_r * pr * pph
+        + invS_r * pth * pth
+        + invSs2_r * pph * pph
+    )
+
+    # --- dH/dth ---
+    S_th = -(a * a) * sin2t
+    h_th = -2.0 * m * r * S_th * inv_S2
+    DS_th = -D * S_th * inv_S2
+    invS_th = -S_th * inv_S2
+    invSs2_th = -(S_th * s2 + S * sin2t) * inv_S2 / (s2 * s2)
+    dH_dth = 0.5 * (
+        -h_th * pt * pt
+        + 2.0 * h_th * pt * pr
+        + DS_th * pr * pr
+        + 2.0 * a * invS_th * pr * pph
+        + invS_th * pth * pth
+        + invSs2_th * pph * pph
+    )
+
+    zeros = jnp.zeros_like(r)
+    return jnp.stack([dt, dr, dth, dph, zeros, -dH_dr, -dH_dth, zeros], axis=-1)
+
+
+def ks_renormalize(m, a, y):
+    """Project p_r onto H = 0, sparse KS quadratic (invariants twin).
+
+    A = D/S, B = 2 (h p_t + (a/S) p_phi),
+    C = -(1+h) p_t^2 + p_th^2/S + p_phi^2/(S s2);
+    root nearest the current p_r; gradient-safe via the safe-where pattern.
+    """
+    r, th = y[..., 1], y[..., 2]
+    pt, pr, pth, pph = y[..., 4], y[..., 5], y[..., 6], y[..., 7]
+    s2, _, S, D, inv_S, h = _geom(m, a, r, th)
+    A = D * inv_S
+    B = 2.0 * (h * pt + a * inv_S * pph)
+    C = -(1.0 + h) * pt * pt + pth * pth * inv_S + pph * pph * inv_S / s2
+    disc = B * B - 4.0 * A * C
+    valid = (disc >= 0.0) & (jnp.abs(A) > 1e-12)
+    sqrt_d = jnp.sqrt(jnp.where(valid, jnp.maximum(disc, 1e-30), 1.0))
+    denom = jnp.where(valid, 2.0 * A, 1.0)
+    sol1 = (-B + sqrt_d) / denom
+    sol2 = (-B - sqrt_d) / denom
+    nearest = jnp.where(jnp.abs(sol1 - pr) < jnp.abs(sol2 - pr), sol1, sol2)
+    new_pr = jnp.where(valid, nearest, pr)
+    return y.at[..., 5].set(new_pr)
+
+
+def ks_symplectic_step(m, a, y, dlam, iterations: int = 2):
+    """Implicit-midpoint step on the sparse KS RHS (integrator.rs:209-226).
+
+    y_{n+1} = y_n + dlam f((y_n + y_{n+1})/2), `iterations` fixed-point
+    rounds from an explicit-Euler seed. dlam: (...)."""
+    hh = dlam[..., None]
+    y_next = y + hh * ks_rhs(m, a, y)
+    for _ in range(iterations):
+        y_next = y + hh * ks_rhs(m, a, 0.5 * (y + y_next))
+    return y_next

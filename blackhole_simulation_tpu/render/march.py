@@ -32,9 +32,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from blackhole_simulation_tpu.geometry.metrics import Kerr
-from blackhole_simulation_tpu.geodesic.integrator import symplectic_step
-from blackhole_simulation_tpu.geodesic.invariants import renormalize_null
+from blackhole_simulation_tpu.geometry.metrics import KS, Kerr
+from blackhole_simulation_tpu.ops.ks_kernel import ks_renormalize, ks_symplectic_step
 
 
 @dataclasses.dataclass(frozen=True)
@@ -98,12 +97,15 @@ def march(
     thin-disk emission at equatorial-plane crossings; None renders pure
     lensing. Returns a MarchResult. Fully differentiable.
     """
+    assert bh.chart == KS, "the fast march integrates in the Kerr-Schild chart"
     dtype = y0.dtype
     n = y0.shape[0]
+    m_bh = bh.mass.astype(dtype)
+    a_bh = bh.spin.astype(dtype)
     r_h = bh.event_horizon().astype(dtype)
     horizon_r = cfg.horizon_factor * r_h
 
-    y0 = renormalize_null(y0, bh)
+    y0 = ks_renormalize(m_bh, a_bh, y0)
 
     def body(i, carry):
         y, hit, steps, rgb, trans, ncross = carry
@@ -111,13 +113,11 @@ def march(
 
         r = y[..., 1]
         dlam = adaptive_dlam(r, r_h, cfg, dtype)
-        y_next = symplectic_step(bh, y, dlam)
+        y_next = ks_symplectic_step(m_bh, a_bh, y, dlam)
 
         # Periodic null renormalization to hold H = 0 in low precision.
         renorm = (i % cfg.renormalize_every) == cfg.renormalize_every - 1
-        y_next = jax.lax.cond(
-            renorm, lambda v: renormalize_null(v, bh), lambda v: v, y_next
-        )
+        y_next = jnp.where(renorm, ks_renormalize(m_bh, a_bh, y_next), y_next)
 
         if disk_sampler is not None:
             d_rgb, d_alpha, crossed = disk_sampler(y, y_next, bh)
