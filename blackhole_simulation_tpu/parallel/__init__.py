@@ -16,6 +16,7 @@ from blackhole_simulation_tpu.parallel.mesh import (
 from blackhole_simulation_tpu.parallel.render import render_sharded, shard_rays_spec
 from blackhole_simulation_tpu.parallel.train import (
     InverseParams,
+    init_opt_state,
     make_inverse_step,
     inverse_render,
 )
@@ -27,6 +28,7 @@ __all__ = [
     "render_sharded",
     "shard_rays_spec",
     "InverseParams",
+    "init_opt_state",
     "make_inverse_step",
     "inverse_render",
 ]

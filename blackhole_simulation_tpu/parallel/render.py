@@ -20,7 +20,6 @@ from blackhole_simulation_tpu.render.camera import camera_rays
 from blackhole_simulation_tpu.render.march import march
 from blackhole_simulation_tpu.render.pipeline import Scene, shade_sample
 from blackhole_simulation_tpu.render.post import tonemap
-from blackhole_simulation_tpu.render.shading import make_disk_sampler
 
 
 def shard_rays_spec(mesh: Mesh) -> NamedSharding:
@@ -45,7 +44,6 @@ def render_sharded(scene: Scene, mesh: Mesh, dtype=jnp.float32) -> jnp.ndarray:
     n_pad = _pad_to(n_pix, n_dev)
 
     bh = Kerr(mass=scene.bh.mass.astype(dtype), spin=scene.bh.spin.astype(dtype), chart=KS)
-    sampler = make_disk_sampler(scene.disk) if scene.features.disk else None
 
     rays = camera_rays(cam, bh, dtype=dtype)
     rays = jnp.pad(rays, ((0, n_pad - n_pix), (0, 0)))
@@ -55,8 +53,8 @@ def render_sharded(scene: Scene, mesh: Mesh, dtype=jnp.float32) -> jnp.ndarray:
     spec = P(mesh.axis_names, None)
 
     def shard_fn(ray_shard):
-        result = march(ray_shard, bh, scene.march_cfg, disk_sampler=sampler)
-        return shade_sample(result, bh, scene, dtype)
+        result = march(ray_shard, bh, scene.march_cfg)
+        return shade_sample(result, bh, scene, dtype, ray_shard)
 
     rgb = shard_map(
         shard_fn, mesh=mesh, in_specs=(spec,), out_specs=spec, check_vma=False

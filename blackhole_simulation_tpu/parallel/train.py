@@ -54,28 +54,39 @@ def _forward(params: InverseParams, scene: Scene, pix_ids, dtype):
     the rays this shard owns (camera_rays_indexed)."""
     bh = Kerr(mass=scene.bh.mass.astype(dtype), spin=params.spin, chart=KS)
     cam = dataclasses.replace(scene.camera, theta=params.theta_cam)
-    disk = dataclasses.replace(scene.disk, density=1.0)  # folded in below
-    from blackhole_simulation_tpu.render.shading import make_disk_sampler
-
-    base_sampler = make_disk_sampler(disk)
-
-    def sampler(y0, y1, bh_):
-        rgb, alpha, crossed = base_sampler(y0, y1, bh_)
-        dens = jnp.exp(params.log_density).astype(dtype)
-        scale = jnp.exp(params.log_t_peak - jnp.log(scene.disk.t_peak)).astype(dtype)
-        return rgb * scale, jnp.clip(alpha * dens, 0.0, 1.0), crossed
+    # Density and peak-temperature enter as traced multiplicative scales on
+    # the static DiskParams (disk.density stays the static base).
+    dens_scale = jnp.exp(params.log_density).astype(dtype) / scene.disk.density
+    int_scale = jnp.exp(params.log_t_peak - jnp.log(scene.disk.t_peak)).astype(dtype)
 
     rays = camera_rays_indexed(cam, bh, pix_ids, dtype=dtype)
-    result = march(rays, bh, scene.march_cfg, disk_sampler=sampler)
-    return shade_sample(result, bh, scene, dtype)
+    result = march(rays, bh, scene.march_cfg)
+    return shade_sample(
+        result, bh, scene, dtype, rays,
+        density_scale=dens_scale, intensity_scale=int_scale,
+    )
 
 
-def make_inverse_step(scene: Scene, mesh: Mesh | None = None, lr=2e-2, dtype=jnp.float32):
-    """Build a jitted SPMD step: (params, target) -> (params', loss).
+def init_opt_state(params: InverseParams):
+    """Adam moments (m, v, step count) for the inverse optimizer."""
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    return (zeros, zeros, jnp.zeros((), jnp.int32))
 
-    With a mesh, rays shard over it inside shard_map and the parameter
-    gradient is psum'd over the mesh axes (the ICI all-reduce); without one,
-    it is the plain single-device step.
+
+def make_inverse_step(scene: Scene, mesh: Mesh | None = None, lr=2e-2, dtype=jnp.float32,
+                      b1=0.9, b2=0.999, eps=1e-8):
+    """Build a jitted SPMD Adam step:
+    ((params, opt_state), target) -> ((params', opt_state'), loss).
+
+    Adam on the scene parameters (SURVEY.md §7.1 layer 5) — plain SGD
+    oscillates on this landscape (photon-ring pixels have enormous, stiff
+    d/d(spin)). With a mesh, rays shard over it inside shard_map and the
+    parameter gradient is psum'd over the mesh axes (the ICI all-reduce);
+    without one, it is the plain single-device step.
+
+    For callers that don't thread opt state, passing bare InverseParams
+    also works: the state is initialized internally per call (pure SGD-free
+    Adam restart — fine for the first step, tests, and the dryrun).
     """
     axis_names = mesh.axis_names if mesh is not None else ()
 
@@ -87,25 +98,43 @@ def make_inverse_step(scene: Scene, mesh: Mesh | None = None, lr=2e-2, dtype=jnp
         loss, grads = jax.value_and_grad(loss_fn)(params)
         return loss, grads
 
-    def apply_update(params, grads, n_pix):
-        # Clip the per-pixel-normalized gradient by global norm: photon-ring
-        # pixels have enormous d(radiance)/d(spin), and one unclipped step can
-        # slam spin into the extremal boundary where fp32 gradients blow up.
+    def apply_update(params, opt_state, grads, n_pix):
         g = jax.tree.map(lambda v: v / n_pix, grads)
+        # Global-norm clip first: photon-ring pixels have enormous
+        # d(radiance)/d(spin); an unclipped first moment can slam spin into
+        # the extremal boundary where fp32 gradients blow up.
         gnorm = jnp.sqrt(sum(jnp.sum(v * v) for v in jax.tree.leaves(g)))
-        scale = jnp.minimum(1.0, 1.0 / jnp.maximum(gnorm, 1e-12))
-        upd = jax.tree.map(lambda p, v: p - lr * scale * v, params, g)
+        scale = jnp.minimum(1.0, 10.0 / jnp.maximum(gnorm, 1e-12))
+        g = jax.tree.map(lambda v: v * scale, g)
+        m, v, t = opt_state
+        t = t + 1
+        m = jax.tree.map(lambda mm, gg: b1 * mm + (1 - b1) * gg, m, g)
+        v = jax.tree.map(lambda vv, gg: b2 * vv + (1 - b2) * gg * gg, v, g)
+        tf = t.astype(jnp.float32)
+        mhat = jax.tree.map(lambda mm: mm / (1 - b1**tf), m)
+        vhat = jax.tree.map(lambda vv: vv / (1 - b2**tf), v)
+        upd = jax.tree.map(
+            lambda p, mm, vv: p - lr * mm / (jnp.sqrt(vv) + eps), params, mhat, vhat
+        )
         # Keep spin strictly sub-extremal (fp32 headroom at a ~ 1).
-        return dataclasses.replace(upd, spin=jnp.clip(upd.spin, -0.998, 0.998))
+        upd = dataclasses.replace(upd, spin=jnp.clip(upd.spin, -0.998, 0.998))
+        return upd, (m, v, t)
 
     n_pix = scene.camera.width * scene.camera.height
 
+    def unpack(state):
+        if isinstance(state, InverseParams):
+            return state, init_opt_state(state)
+        return state
+
     if mesh is None:
         @jax.jit
-        def step(params, target):
+        def step(state, target):
+            params, opt_state = unpack(state)
             pix_ids = jnp.arange(n_pix)
             loss, grads = loss_and_grad(params, target.reshape(-1, 3), pix_ids)
-            return apply_update(params, grads, n_pix), loss / n_pix
+            params, opt_state = apply_update(params, opt_state, grads, n_pix)
+            return (params, opt_state), loss / n_pix
 
         return step
 
@@ -127,7 +156,8 @@ def make_inverse_step(scene: Scene, mesh: Mesh | None = None, lr=2e-2, dtype=jnp
     spec_shard = P(axis_names, None)
 
     @jax.jit
-    def step(params, target):
+    def step(state, target):
+        params, opt_state = unpack(state)
         target_flat = target.reshape(-1, 3)
         pix_ids = jnp.arange(n_pix)
         loss, grads = shard_map(
@@ -137,7 +167,8 @@ def make_inverse_step(scene: Scene, mesh: Mesh | None = None, lr=2e-2, dtype=jnp
             out_specs=(P(), P()),
             check_vma=False,
         )(params, target_flat, pix_ids)
-        return apply_update(params, grads, n_pix), loss / n_pix
+        params, opt_state = apply_update(params, opt_state, grads, n_pix)
+        return (params, opt_state), loss / n_pix
 
     return step
 
@@ -147,9 +178,10 @@ def inverse_render(scene: Scene, target, n_steps=100, mesh: Mesh | None = None,
     """Run the inverse-rendering optimization; returns (params, loss_history)."""
     step = make_inverse_step(scene, mesh, lr, dtype)
     params = init or InverseParams.init(dtype=dtype)
+    state = (params, init_opt_state(params))
     losses = []
     target = jnp.asarray(target, dtype)
     for _ in range(n_steps):
-        params, loss = step(params, target)
+        state, loss = step(state, target)
         losses.append(float(loss))
-    return params, losses
+    return state[0], losses

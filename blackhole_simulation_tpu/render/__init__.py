@@ -23,9 +23,10 @@ from blackhole_simulation_tpu.render.shading import (
     DiskParams,
     StarfieldParams,
     blackbody_ramp,
+    disk_emission,
     escape_direction,
     fbm2,
-    make_disk_sampler,
+    shade_disk_crossings,
     starfield,
 )
 from blackhole_simulation_tpu.render.post import PostParams, aces, bloom, tonemap
@@ -52,9 +53,10 @@ __all__ = [
     "DiskParams",
     "StarfieldParams",
     "blackbody_ramp",
+    "disk_emission",
     "escape_direction",
     "fbm2",
-    "make_disk_sampler",
+    "shade_disk_crossings",
     "starfield",
     "PostParams",
     "aces",

@@ -6,17 +6,18 @@ curvature-adaptive dt; src/shaders/compute.wgsl.ts:189-258 symplectic
 Hamiltonian KS march with disk-crossing detection):
 
  - all rays advance together in ONE ``lax.fori_loop`` with per-ray active
-   masks — the three reference exits (horizon / escape / opacity saturation)
-   freeze rays in place,
- - the integrator is the symplectic implicit-midpoint step on the exact
-   Kerr-Schild Hamiltonian (the reference's WGSL choice) — horizon-regular,
-   nearly reversible, cheap (3 derivative evaluations/step),
+   masks — the reference exits (horizon / escape) freeze rays in place,
+ - the integrator is the sparse scalar-component symplectic implicit-midpoint
+   step on the exact Kerr-Schild Hamiltonian (ops/ks_kernel) — horizon-
+   regular, nearly reversible, 3 RHS evaluations/step, zero 4x4 tensors,
  - step size is curvature-adaptive: dlam = clamp((r - r_h) * rate, lo, hi)
-   with a far-field boost and a photon-sphere proximity clamp, vectorized
-   (fragment.glsl.ts:141-159),
- - thin-disk crossings are detected by the sign change of cos(theta) between
-   substeps, the crossing point interpolated, and emission accumulated
-   front-to-back with transmittance (chunks/disk.ts:22-31, compute.wgsl.ts:217),
+   with a far-field boost (fragment.glsl.ts:141-159), vectorized,
+ - equatorial-plane crossings are *recorded* (interpolated r, phi, t into K
+   fixed slots per ray) but NOT shaded here: shading runs once per crossing
+   after the march (render/shading.py), keeping transcendental-heavy math
+   (blackbody pow/log, noise hashes, g-factor) out of the 256x step loop —
+   the optimization that moves the march from shading-bound to
+   geometry-bound on TPU,
  - the whole march is differentiable; gradients freeze with the masks.
 
 The march works in any float dtype: f32 for the fast path, f64 when used as
@@ -42,8 +43,10 @@ class MarchConfig:
 
     Defaults mirror the reference's tuning: max_steps quality budgets
     off/32/64/128/256 with hard cap 500 (simulation.config.ts:205-211),
-    step-rate 0.1-0.15 of (r - r_h), horizon threshold 1.01 r+, escape at
-    the camera-distance scale.
+    step-rate ~0.1 of (r - r_h), horizon threshold 1.01 r+, escape at the
+    camera-distance scale. ``max_crossings`` fixes the number of recorded
+    disk-plane intersections per ray (higher-order images: the photon ring
+    needs >= 3).
     """
 
     max_steps: int = 256
@@ -54,7 +57,9 @@ class MarchConfig:
     escape_radius: float = 120.0
     horizon_factor: float = 1.01
     renormalize_every: int = 16
-    opacity_cutoff: float = 0.995    # stop when transmittance < 1 - this
+    max_crossings: int = 4           # K recorded equator crossings per ray
+    record_r_min: float = 1.0        # crossing radial window (disk extent)
+    record_r_max: float = 30.0
 
 
 # Flags describing how each ray ended (mirrors TerminationReason).
@@ -65,17 +70,20 @@ HIT_ESCAPE = 2
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["state", "hit", "steps", "disk_radiance", "transmittance", "n_crossings"],
+    data_fields=[
+        "state", "hit", "steps", "cross_r", "cross_phi", "cross_t", "n_crossings",
+    ],
     meta_fields=[],
 )
 @dataclasses.dataclass(frozen=True)
 class MarchResult:
-    state: jnp.ndarray          # (N, 8) final phase-space state
-    hit: jnp.ndarray            # (N,) HIT_* code
-    steps: jnp.ndarray          # (N,) steps taken while active
-    disk_radiance: jnp.ndarray  # (N, 3) accumulated disk emission (linear RGB)
-    transmittance: jnp.ndarray  # (N,) remaining transmittance toward background
-    n_crossings: jnp.ndarray    # (N,) number of disk-plane crossings sampled
+    state: jnp.ndarray        # (N, 8) final phase-space state
+    hit: jnp.ndarray          # (N,) HIT_* code
+    steps: jnp.ndarray        # (N,) steps taken while active
+    cross_r: jnp.ndarray      # (N, K) interpolated crossing radii (0 = empty)
+    cross_phi: jnp.ndarray    # (N, K) crossing azimuths
+    cross_t: jnp.ndarray      # (N, K) crossing coordinate times
+    n_crossings: jnp.ndarray  # (N,) number of recorded crossings
 
 
 def adaptive_dlam(r, r_h, cfg: MarchConfig, dtype):
@@ -89,26 +97,24 @@ def march(
     y0: jnp.ndarray,
     bh: Kerr,
     cfg: MarchConfig = MarchConfig(),
-    disk_sampler=None,
 ):
-    """March a batch of KS-chart null rays to horizon/escape/opacity.
-
-    ``disk_sampler(y_prev, y_next, bh) -> (rgb, alpha, crossed)`` accumulates
-    thin-disk emission at equatorial-plane crossings; None renders pure
-    lensing. Returns a MarchResult. Fully differentiable.
+    """March a batch of KS-chart null rays to horizon/escape, recording
+    equatorial-plane crossings. Returns a MarchResult. Fully differentiable.
     """
     assert bh.chart == KS, "the fast march integrates in the Kerr-Schild chart"
     dtype = y0.dtype
     n = y0.shape[0]
+    k_slots = cfg.max_crossings
     m_bh = bh.mass.astype(dtype)
     a_bh = bh.spin.astype(dtype)
     r_h = bh.event_horizon().astype(dtype)
     horizon_r = cfg.horizon_factor * r_h
+    slot_ids = jnp.arange(k_slots)
 
     y0 = ks_renormalize(m_bh, a_bh, y0)
 
     def body(i, carry):
-        y, hit, steps, rgb, trans, ncross = carry
+        y, hit, steps, cr, cp, ct, ncross = carry
         active = hit == HIT_NONE
 
         r = y[..., 1]
@@ -119,13 +125,32 @@ def march(
         renorm = (i % cfg.renormalize_every) == cfg.renormalize_every - 1
         y_next = jnp.where(renorm, ks_renormalize(m_bh, a_bh, y_next), y_next)
 
-        if disk_sampler is not None:
-            d_rgb, d_alpha, crossed = disk_sampler(y, y_next, bh)
-            contrib = active & crossed
-            w = jnp.where(contrib, trans * d_alpha, 0.0)
-            rgb = rgb + jnp.where(contrib[..., None], w[..., None] * d_rgb, 0.0)
-            trans = jnp.where(contrib, trans * (1.0 - d_alpha), trans)
-            ncross = ncross + contrib.astype(jnp.int32)
+        # Equator-crossing detection + interpolated record
+        # (chunks/disk.ts:22-31 / compute.wgsl.ts:217, recorded not shaded).
+        c0 = jnp.cos(y[..., 2])
+        c1 = jnp.cos(y_next[..., 2])
+        frac = jnp.clip(
+            c0 / jnp.where(jnp.abs(c0 - c1) < 1e-12, 1e-12, c0 - c1), 0.0, 1.0
+        )
+        r_c = y[..., 1] + frac * (y_next[..., 1] - y[..., 1])
+        phi_c = y[..., 3] + frac * (y_next[..., 3] - y[..., 3])
+        t_c = y[..., 0] + frac * (y_next[..., 0] - y[..., 0])
+        crossed = (
+            active
+            & ((c0 * c1) < 0.0)
+            & (r_c > cfg.record_r_min)
+            & (r_c < cfg.record_r_max)
+            & (ncross < k_slots)
+        )
+        # Scatter into the next free slot: one-hot over K static slots.
+        mask_k = crossed[:, None] & (ncross[:, None] == slot_ids[None, :])
+        safe_r = jnp.where(crossed, r_c, 0.0)
+        safe_phi = jnp.where(crossed, phi_c, 0.0)
+        safe_t = jnp.where(crossed, t_c, 0.0)
+        cr = jnp.where(mask_k, safe_r[:, None], cr)
+        cp = jnp.where(mask_k, safe_phi[:, None], cp)
+        ct = jnp.where(mask_k, safe_t[:, None], ct)
+        ncross = ncross + crossed.astype(jnp.int32)
 
         y = jnp.where(active[..., None], y_next, y)
         steps = steps + active.astype(jnp.int32)
@@ -133,24 +158,22 @@ def march(
         r_new = y[..., 1]
         hit = jnp.where(active & (r_new < horizon_r), HIT_HORIZON, hit)
         hit = jnp.where(active & (r_new > cfg.escape_radius), HIT_ESCAPE, hit)
-        # Opacity saturation: nothing left to transport — treat as horizon-
-        # style stop (the background behind is fully occluded).
-        saturated = active & (trans < (1.0 - cfg.opacity_cutoff))
-        hit = jnp.where(saturated, HIT_HORIZON, hit)
-        return y, hit, steps, rgb, trans, ncross
+        return y, hit, steps, cr, cp, ct, ncross
 
     hit0 = jnp.zeros(n, dtype=jnp.int32)
-    # Rays born inside the horizon or beyond escape terminate immediately.
+    # Rays born inside the horizon terminate immediately.
     hit0 = jnp.where(y0[..., 1] < horizon_r, HIT_HORIZON, hit0)
+    zeros_k = jnp.zeros((n, k_slots), dtype=dtype)
     carry = (
         y0,
         hit0,
         jnp.zeros(n, dtype=jnp.int32),
-        jnp.zeros((n, 3), dtype=dtype),
-        jnp.ones(n, dtype=dtype),
+        zeros_k,
+        zeros_k,
+        zeros_k,
         jnp.zeros(n, dtype=jnp.int32),
     )
-    y, hit, steps, rgb, trans, ncross = jax.lax.fori_loop(
+    y, hit, steps, cr, cp, ct, ncross = jax.lax.fori_loop(
         0, cfg.max_steps, body, carry
     )
     # Step budget exhausted while still live: closest to a horizon-bound ray
@@ -160,7 +183,8 @@ def march(
         state=y,
         hit=hit,
         steps=steps,
-        disk_radiance=rgb,
-        transmittance=trans,
+        cross_r=cr,
+        cross_phi=cp,
+        cross_t=ct,
         n_crossings=ncross,
     )

@@ -31,7 +31,7 @@ from blackhole_simulation_tpu.render.shading import (
     DiskParams,
     StarfieldParams,
     escape_direction,
-    make_disk_sampler,
+    shade_disk_crossings,
     starfield,
 )
 
@@ -90,10 +90,24 @@ def halton_jitters(n: int):
     )
 
 
-def shade_sample(result: MarchResult, bh: Kerr, scene: Scene, dtype) -> jnp.ndarray:
+def shade_sample(
+    result: MarchResult,
+    bh: Kerr,
+    scene: Scene,
+    dtype,
+    y0: jnp.ndarray,
+    density_scale=1.0,
+    intensity_scale=1.0,
+) -> jnp.ndarray:
     """Compose one sub-sample's (N, 3) radiance from a march result."""
     escaped = result.hit == HIT_ESCAPE
-    rgb = result.disk_radiance
+    if scene.features.disk:
+        rgb, trans = shade_disk_crossings(
+            result, bh, scene.disk, y0, dtype, density_scale, intensity_scale
+        )
+    else:
+        rgb = jnp.zeros(result.hit.shape + (3,), dtype=dtype)
+        trans = jnp.ones(result.hit.shape, dtype=dtype)
 
     if scene.features.starfield:
         # Evaluate the background only from escaped-ray states; captured rays
@@ -108,7 +122,7 @@ def shade_sample(result: MarchResult, bh: Kerr, scene: Scene, dtype) -> jnp.ndar
     # Background shows through remaining transmittance on escaped rays only;
     # captured rays keep the horizon black behind any foreground disk
     # (fragment.glsl.ts:270-274).
-    rgb = rgb + jnp.where(escaped, result.transmittance, 0.0)[..., None] * bg
+    rgb = rgb + jnp.where(escaped, trans, 0.0)[..., None] * bg
 
     if scene.features.photon_ring_glow:
         # e^{-k |r_min - r_ph|} glow on rays that skim the photon sphere
@@ -133,9 +147,8 @@ def render_sample(scene: Scene, jitter, dtype=jnp.float32) -> jnp.ndarray:
         chart=KS,
     )
     rays = camera_rays(scene.camera, bh, jitter=jitter, dtype=dtype)
-    sampler = make_disk_sampler(scene.disk) if scene.features.disk else None
-    result = march(rays, bh, scene.march_cfg, disk_sampler=sampler)
-    return shade_sample(result, bh, scene, dtype)
+    result = march(rays, bh, scene.march_cfg)
+    return shade_sample(result, bh, scene, dtype, rays)
 
 
 @partial(jax.jit, static_argnames=("n_samples", "dtype"))

@@ -157,68 +157,104 @@ def equatorial_g_factor(m, a, r, lam, dtype=jnp.float32):
     return (1.0 / (u_t * doppler)).astype(dtype)
 
 
-def make_disk_sampler(disk: DiskParams):
-    """Build a ``disk_sampler(y_prev, y_next, bh)`` for render.march.
+def disk_emission(
+    disk: DiskParams,
+    bh: Kerr,
+    r_c,
+    phi_c,
+    t_c,
+    lam,
+    dtype=jnp.float32,
+    density_scale=1.0,
+    intensity_scale=1.0,
+):
+    """Shade ONE recorded disk crossing: (rgb, alpha, valid).
 
-    Detects the equator crossing between two substates (sign change of
-    cos(theta)), interpolates the crossing (r, phi), rejects crossings
-    outside [ISCO, outer_radius], and returns (rgb, alpha, crossed):
-    blackbody color at g * T(r) with g^beaming intensity and noise-modulated
-    alpha (chunks/disk.ts:22-111).
+    Runs once per crossing after the march (not per step) — blackbody color
+    at g * T(r) with g^beaming intensity and noise-modulated alpha
+    (chunks/disk.ts:22-111). ``lam`` is the ray's conserved impact parameter
+    L_z/E. ``density_scale`` / ``intensity_scale`` are traced multipliers
+    used by inverse rendering.
     """
+    m = bh.mass.astype(dtype)
+    a = bh.spin.astype(dtype)
+    r_in = bh.isco().astype(dtype)
 
-    def sampler(y_prev, y_next, bh: Kerr):
-        dtype = y_prev.dtype
-        m = bh.mass.astype(dtype)
-        a = bh.spin.astype(dtype)
-        r_in = bh.isco().astype(dtype)
+    valid = (r_c > r_in) & (r_c < disk.outer_radius)
+    # Sanitize invalid lanes so no inf/NaN flows into the math below
+    # (0 * NaN would poison the masked composite).
+    r_c = jnp.where(valid, r_c, r_in * 2.0)
+    phi_c = jnp.where(valid, phi_c, 0.0)
+    t_c = jnp.where(valid, t_c, 0.0)
 
-        c0 = jnp.cos(y_prev[..., 2])
-        c1 = jnp.cos(y_next[..., 2])
-        crossed_plane = (c0 * c1) < 0.0
-        frac = jnp.clip(
-            c0 / jnp.where(jnp.abs(c0 - c1) < 1e-12, 1e-12, c0 - c1), 0.0, 1.0
+    g = equatorial_g_factor(m, a, jnp.maximum(r_c, r_in), lam, dtype)
+    g = jnp.clip(g, 0.05, 5.0)  # LUT g-range guard (spectrum.rs:76-102)
+
+    t_shape = nt_temperature_profile(jnp.maximum(r_c, r_in * (1 + 1e-4)), r_in, dtype)
+    t_obs = jnp.clip(g * t_shape * disk.t_peak, 1000.0, 40000.0)
+    color = blackbody_ramp(t_obs).astype(dtype)
+
+    # Keplerian-phase-rotated turbulence (chunks/disk.ts:42-61): rotate the
+    # noise field by the local orbital phase so structure shears.
+    omega_k = jnp.sqrt(m) / (jnp.maximum(r_c, r_in) ** 1.5 + a * jnp.sqrt(m))
+    phase = phi_c - omega_k * t_c
+    # Wrap the phase to a bounded interval before hashing: float->int casts
+    # of huge f32 values are undefined (the 1080p NaN source).
+    phase = jnp.mod(phase, 2.0 * jnp.pi)
+    noise = fbm2(r_c * 1.7, phase * 3.0, octaves=3).astype(dtype)
+    turb = 1.0 - disk.turbulence + disk.turbulence * (0.4 + 1.2 * noise)
+
+    # Radial emissivity/opacity profile with soft edges.
+    inner = jnp.clip((r_c - r_in) / (disk.inner_edge_softness * r_in + 1e-6), 0.0, 1.0)
+    outer = (jnp.maximum(r_in, r_c) / r_in) ** (-disk.outer_falloff * 0.5)
+    edge = _smooth(inner) * jnp.clip(
+        (disk.outer_radius - r_c) / (0.15 * disk.outer_radius), 0.0, 1.0
+    )
+    alpha = jnp.clip(disk.density * density_scale * edge * turb, 0.0, 1.0)
+    alpha = jnp.where(valid, alpha, 0.0).astype(dtype)
+
+    intensity = (g ** disk.beaming_exponent) * t_shape**4 * outer * intensity_scale
+    rgb = jnp.where(valid[..., None], color * intensity[..., None], 0.0)
+    return rgb, alpha, valid
+
+
+def shade_disk_crossings(
+    result,
+    bh: Kerr,
+    disk: DiskParams,
+    y0: jnp.ndarray,
+    dtype=jnp.float32,
+    density_scale=1.0,
+    intensity_scale=1.0,
+):
+    """Composite the K recorded crossings front-to-back: (rgb, transmittance).
+
+    Crossing slots fill in march order, so slot 0 is nearest the camera;
+    standard alpha-over accumulation (chunks/disk.ts:108-111).
+    """
+    # Conserved impact parameter lambda = L_z/E = -p_phi/p_t from the
+    # *initial* state (exactly conserved along the ray).
+    lam = -y0[..., 7] / jnp.where(jnp.abs(y0[..., 4]) < 1e-12, -1.0, y0[..., 4])
+    n, k_slots = result.cross_r.shape
+    rgb = jnp.zeros((n, 3), dtype=dtype)
+    trans = jnp.ones((n,), dtype=dtype)
+    for k in range(k_slots):
+        filled = k < result.n_crossings
+        c_rgb, c_alpha, valid = disk_emission(
+            disk,
+            bh,
+            result.cross_r[:, k],
+            result.cross_phi[:, k],
+            result.cross_t[:, k],
+            lam,
+            dtype,
+            density_scale,
+            intensity_scale,
         )
-        r_c = y_prev[..., 1] + frac * (y_next[..., 1] - y_prev[..., 1])
-        phi_c = y_prev[..., 3] + frac * (y_next[..., 3] - y_prev[..., 3])
-        in_disk = (r_c > r_in) & (r_c < disk.outer_radius)
-        crossed = crossed_plane & in_disk
-        # Sanitize the non-crossing lanes so no inf/NaN flows into the math
-        # below (0 * NaN would poison the masked accumulate in the march).
-        r_c = jnp.where(crossed, r_c, r_in * 2.0)
-        phi_c = jnp.where(crossed, phi_c, 0.0)
-
-        # Photon's conserved impact parameter lambda = L_z / E = -p_phi/p_t.
-        lam = -y_prev[..., 7] / jnp.where(
-            jnp.abs(y_prev[..., 4]) < 1e-12, -1.0, y_prev[..., 4]
-        )
-        g = equatorial_g_factor(m, a, jnp.maximum(r_c, r_in), lam, dtype)
-        g = jnp.clip(g, 0.05, 5.0)  # LUT g-range guard (spectrum.rs:76-102)
-
-        t_shape = nt_temperature_profile(jnp.maximum(r_c, r_in * (1 + 1e-4)), r_in, dtype)
-        t_obs = jnp.clip(g * t_shape * disk.t_peak, 1000.0, 40000.0)
-        color = blackbody_ramp(t_obs).astype(dtype)
-
-        # Keplerian-phase-rotated turbulence (chunks/disk.ts:42-61): rotate
-        # the noise field by the local orbital phase so structure shears.
-        omega_k = jnp.sqrt(m) / (jnp.maximum(r_c, r_in) ** 1.5 + a * jnp.sqrt(m))
-        phase = phi_c - omega_k * y_prev[..., 0]
-        noise = fbm2(r_c * 1.7, phase * 3.0, octaves=3).astype(dtype)
-        turb = 1.0 - disk.turbulence + disk.turbulence * (0.4 + 1.2 * noise)
-
-        # Radial emissivity/opacity profile with soft edges.
-        inner = jnp.clip((r_c - r_in) / (disk.inner_edge_softness * r_in + 1e-6), 0.0, 1.0)
-        outer = (jnp.maximum(r_in, r_c) / r_in) ** (-disk.outer_falloff * 0.5)
-        edge = _smooth(inner) * jnp.clip(
-            (disk.outer_radius - r_c) / (0.15 * disk.outer_radius), 0.0, 1.0
-        )
-        alpha = jnp.clip(disk.density * edge * turb, 0.0, 1.0).astype(dtype)
-
-        intensity = (g ** disk.beaming_exponent) * t_shape**4 * outer
-        rgb = color * intensity[..., None]
-        return rgb, alpha, crossed
-
-    return sampler
+        w = jnp.where(filled & valid, trans * c_alpha, 0.0)
+        rgb = rgb + w[..., None] * c_rgb
+        trans = jnp.where(filled & valid, trans * (1.0 - c_alpha), trans)
+    return rgb, trans
 
 
 # ---------------------------------------------------------------------------
