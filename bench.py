@@ -59,7 +59,11 @@ def main() -> None:
         mass=1.0,
         spin=0.999,
         camera=cam,
-        march_cfg=MarchConfig(max_steps=args.steps),
+        march_cfg=MarchConfig(
+            max_steps=args.steps,
+            # Tile-resident Pallas march on TPU (forward render only).
+            use_pallas=(platform == "tpu"),
+        ),
     )
 
     print(

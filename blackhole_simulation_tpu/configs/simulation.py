@@ -78,6 +78,7 @@ class SimulationParams:
     exposure: float = PARAMETER_SCHEMA["exposure"].default
     quality: str = "ultra"
     enable_disk: bool = True
+    enable_jets: bool = False
     enable_starfield: bool = True
     enable_photon_ring: bool = True
     enable_bloom: bool = True
@@ -185,6 +186,8 @@ def scene_from_params(params: SimulationParams, width: int = 512, height: int = 
         ),
         features=Features(
             disk=p.enable_disk,
+            # jets require the disk (ShaderManager rule, manager.ts:57-73)
+            jets=p.enable_jets and p.enable_disk,
             starfield=p.enable_starfield,
             photon_ring_glow=p.enable_photon_ring,
         ),

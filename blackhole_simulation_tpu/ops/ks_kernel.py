@@ -147,3 +147,225 @@ def ks_symplectic_step(m, a, y, dlam, iterations: int = 2):
     for _ in range(iterations):
         y_next = y + hh * ks_rhs(m, a, 0.5 * (y + y_next))
     return y_next
+
+
+# ---------------------------------------------------------------------------
+# Transposed (8, N) layout variants — the TPU-native layout for the march.
+#
+# (N, 8) puts the 8 state slots in the 128-lane minor dimension: every packed
+# op runs at 8/128 lane utilization. (8, N) makes each slot a full lane-major
+# row, so y[k] slices are free and all arithmetic is dense. The march carries
+# state transposed and converts at its boundaries.
+# ---------------------------------------------------------------------------
+
+def ks_rhs_t(m, a, yt):
+    """dy/dlambda for transposed state yt: (8, N) -> (8, N)."""
+    r, th = yt[1], yt[2]
+    pt, pr, pth, pph = yt[4], yt[5], yt[6], yt[7]
+    s2, sin2t, S, D, inv_S, h = _geom(m, a, r, th)
+    inv_S2 = inv_S * inv_S
+
+    dt = -(1.0 + h) * pt + h * pr
+    dr = h * pt + D * inv_S * pr + a * inv_S * pph
+    dth = pth * inv_S
+    dph = a * inv_S * pr + pph * inv_S / s2
+
+    S_r = 2.0 * r
+    D_r = 2.0 * r - 2.0 * m
+    h_r = 2.0 * m * (S - 2.0 * r * r) * inv_S2
+    DS_r = (D_r * S - D * S_r) * inv_S2
+    invS_r = -S_r * inv_S2
+    invSs2_r = -S_r * inv_S2 / s2
+    dH_dr = 0.5 * (
+        -h_r * pt * pt
+        + 2.0 * h_r * pt * pr
+        + DS_r * pr * pr
+        + 2.0 * a * invS_r * pr * pph
+        + invS_r * pth * pth
+        + invSs2_r * pph * pph
+    )
+
+    S_th = -(a * a) * sin2t
+    h_th = -2.0 * m * r * S_th * inv_S2
+    DS_th = -D * S_th * inv_S2
+    invS_th = -S_th * inv_S2
+    invSs2_th = -(S_th * s2 + S * sin2t) * inv_S2 / (s2 * s2)
+    dH_dth = 0.5 * (
+        -h_th * pt * pt
+        + 2.0 * h_th * pt * pr
+        + DS_th * pr * pr
+        + 2.0 * a * invS_th * pr * pph
+        + invS_th * pth * pth
+        + invSs2_th * pph * pph
+    )
+
+    zeros = jnp.zeros_like(r)
+    return jnp.stack([dt, dr, dth, dph, zeros, -dH_dr, -dH_dth, zeros], axis=0)
+
+
+def ks_renormalize_t(m, a, yt):
+    """Transposed-layout twin of ks_renormalize: yt (8, N)."""
+    r, th = yt[1], yt[2]
+    pt, pr, pth, pph = yt[4], yt[5], yt[6], yt[7]
+    s2, _, S, D, inv_S, h = _geom(m, a, r, th)
+    A = D * inv_S
+    B = 2.0 * (h * pt + a * inv_S * pph)
+    C = -(1.0 + h) * pt * pt + pth * pth * inv_S + pph * pph * inv_S / s2
+    disc = B * B - 4.0 * A * C
+    valid = (disc >= 0.0) & (jnp.abs(A) > 1e-12)
+    sqrt_d = jnp.sqrt(jnp.where(valid, jnp.maximum(disc, 1e-30), 1.0))
+    denom = jnp.where(valid, 2.0 * A, 1.0)
+    sol1 = (-B + sqrt_d) / denom
+    sol2 = (-B - sqrt_d) / denom
+    nearest = jnp.where(jnp.abs(sol1 - pr) < jnp.abs(sol2 - pr), sol1, sol2)
+    new_pr = jnp.where(valid, nearest, pr)
+    return yt.at[5].set(new_pr)
+
+
+def ks_symplectic_step_t(m, a, yt, dlam, iterations: int = 2):
+    """Transposed-layout implicit midpoint: yt (8, N), dlam (N,)."""
+    hh = dlam[None, :]
+    y_next = yt + hh * ks_rhs_t(m, a, yt)
+    for _ in range(iterations):
+        y_next = yt + hh * ks_rhs_t(m, a, 0.5 * (yt + y_next))
+    return y_next
+
+
+# ---------------------------------------------------------------------------
+# u = cos(theta) coordinate kernel — the trig-free march representation.
+#
+# Substituting u = cos(theta) (p_u = -p_theta / sin(theta)) makes the KS
+# Hamiltonian purely rational:
+#
+#   H = 1/2 [ -(1+h) p_t^2 + 2 h p_t p_r + (D/S) p_r^2 + (2a/S) p_r p_phi
+#             + (w/S) p_u^2 + p_phi^2 / (S w) ],
+#   S = r^2 + a^2 u^2,  w = 1 - u^2,  h = 2 M r / S,
+#
+# so the step loop contains no sin/cos at all, and the polar coordinate
+# singularity weakens: du/dlam = (w/S) p_u -> 0 smoothly at the axis.
+# State layout (8, N): (t, r, u, phi, p_t, p_r, p_u, p_phi).
+# ---------------------------------------------------------------------------
+
+_W_EPS = 1e-12
+
+
+def theta_state_to_u(yt):
+    """(8,N) state with theta/p_theta -> u/p_u rows."""
+    th, pth = yt[2], yt[6]
+    s = jnp.sqrt(jnp.maximum(1.0 - jnp.cos(th) ** 2, _W_EPS))
+    yt = yt.at[2].set(jnp.cos(th))
+    return yt.at[6].set(-pth / s)
+
+
+def u_state_to_theta(yt):
+    """(8,N) state with u/p_u rows -> theta/p_theta."""
+    u, pu = yt[2], yt[6]
+    u = jnp.clip(u, -1.0, 1.0)
+    s = jnp.sqrt(jnp.maximum(1.0 - u * u, _W_EPS))
+    yt = yt.at[2].set(jnp.arccos(u))
+    return yt.at[6].set(-pu * s)
+
+
+def _geom_u(m, a, r, u):
+    w = jnp.maximum(1.0 - u * u, _W_EPS)
+    S = r * r + a * a * u * u
+    D = r * r - 2.0 * m * r + a * a
+    inv_S = 1.0 / S
+    h = 2.0 * m * r * inv_S
+    return w, S, D, inv_S, h
+
+
+def ks_hamiltonian_u(m, a, yt):
+    """H for transposed u-state yt: (8, N) -> (N,)."""
+    r, u = yt[1], yt[2]
+    pt, pr, pu, pph = yt[4], yt[5], yt[6], yt[7]
+    w, S, D, inv_S, h = _geom_u(m, a, r, u)
+    return 0.5 * (
+        -(1.0 + h) * pt * pt
+        + 2.0 * h * pt * pr
+        + D * inv_S * pr * pr
+        + 2.0 * a * inv_S * pr * pph
+        + w * inv_S * pu * pu
+        + pph * pph * inv_S / w
+    )
+
+
+def ks_rhs_u(m, a, yt):
+    """dy/dlambda in (t, r, u, phi) coordinates; yt (8, N) -> (8, N).
+
+    Rational in (r, u): zero transcendentals in the hot loop.
+    """
+    r, u = yt[1], yt[2]
+    pt, pr, pu, pph = yt[4], yt[5], yt[6], yt[7]
+    w, S, D, inv_S, h = _geom_u(m, a, r, u)
+    inv_S2 = inv_S * inv_S
+    inv_w = 1.0 / w
+
+    dt = -(1.0 + h) * pt + h * pr
+    dr = h * pt + D * inv_S * pr + a * inv_S * pph
+    du = w * inv_S * pu
+    dph = a * inv_S * pr + pph * inv_S * inv_w
+
+    # d/dr (S_r = 2r)
+    S_r = 2.0 * r
+    D_r = 2.0 * r - 2.0 * m
+    h_r = 2.0 * m * (S - 2.0 * r * r) * inv_S2
+    DS_r = (D_r * S - D * S_r) * inv_S2
+    invS_r = -S_r * inv_S2
+    wS_r = -w * S_r * inv_S2
+    invSw_r = -S_r * inv_S2 * inv_w
+    dH_dr = 0.5 * (
+        -h_r * pt * pt
+        + 2.0 * h_r * pt * pr
+        + DS_r * pr * pr
+        + 2.0 * a * invS_r * pr * pph
+        + wS_r * pu * pu
+        + invSw_r * pph * pph
+    )
+
+    # d/du (S_u = 2 a^2 u, w_u = -2u)
+    S_u = 2.0 * a * a * u
+    w_u = -2.0 * u
+    h_u = -2.0 * m * r * S_u * inv_S2
+    DS_u = -D * S_u * inv_S2
+    invS_u = -S_u * inv_S2
+    wS_u = (w_u * S - w * S_u) * inv_S2
+    invSw_u = -(S_u * w + S * w_u) * inv_S2 * inv_w * inv_w
+    dH_du = 0.5 * (
+        -h_u * pt * pt
+        + 2.0 * h_u * pt * pr
+        + DS_u * pr * pr
+        + 2.0 * a * invS_u * pr * pph
+        + wS_u * pu * pu
+        + invSw_u * pph * pph
+    )
+
+    zeros = jnp.zeros_like(r)
+    return jnp.stack([dt, dr, du, dph, zeros, -dH_dr, -dH_du, zeros], axis=0)
+
+
+def ks_renormalize_u(m, a, yt):
+    """Project p_r onto H = 0 in u-coordinates; yt (8, N)."""
+    r, u = yt[1], yt[2]
+    pt, pr, pu, pph = yt[4], yt[5], yt[6], yt[7]
+    w, S, D, inv_S, h = _geom_u(m, a, r, u)
+    A = D * inv_S
+    B = 2.0 * (h * pt + a * inv_S * pph)
+    C = -(1.0 + h) * pt * pt + w * inv_S * pu * pu + pph * pph * inv_S / w
+    disc = B * B - 4.0 * A * C
+    valid = (disc >= 0.0) & (jnp.abs(A) > 1e-12)
+    sqrt_d = jnp.sqrt(jnp.where(valid, jnp.maximum(disc, 1e-30), 1.0))
+    denom = jnp.where(valid, 2.0 * A, 1.0)
+    sol1 = (-B + sqrt_d) / denom
+    sol2 = (-B - sqrt_d) / denom
+    nearest = jnp.where(jnp.abs(sol1 - pr) < jnp.abs(sol2 - pr), sol1, sol2)
+    return yt.at[5].set(jnp.where(valid, nearest, pr))
+
+
+def ks_symplectic_step_u(m, a, yt, dlam, iterations: int = 2):
+    """Implicit midpoint on the u-coordinate RHS; yt (8, N), dlam (N,)."""
+    hh = dlam[None, :]
+    y_next = yt + hh * ks_rhs_u(m, a, yt)
+    for _ in range(iterations):
+        y_next = yt + hh * ks_rhs_u(m, a, 0.5 * (yt + y_next))
+    return y_next

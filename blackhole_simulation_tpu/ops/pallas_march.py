@@ -1,0 +1,216 @@
+"""Pallas TPU kernel: march a tile of rays entirely in VMEM.
+
+The jnp march (render/march.py) streams its full (8, N) carry through HBM
+every one of its 256 steps — at 1080p that is ~100 GB of traffic and the
+march is memory-bound. This kernel gives each grid program a TILE of rays
+that stays resident in VMEM for the *whole* march, so the loop is
+compute-bound, and adds the wavefront-style optimization the reference's
+tile queue aims at (legacy tiling.rs, TiledRayBatch): a ``while_loop`` stops
+the tile as soon as every ray in it has terminated — shadow-interior and
+sky tiles quit in a fraction of max_steps.
+
+Same math as the jnp path: u = cos(theta) Kerr-Schild Hamiltonian RHS
+(ops/ks_kernel.ks_rhs_u), curvature-adaptive step with photon-sphere
+proximity clamp and pole throttle, periodic null renormalization, sanity
+freeze, and K-slot equatorial-crossing recording. Forward-only: the
+differentiable paths keep the jnp march (its VJP); tests assert the two
+paths agree.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from blackhole_simulation_tpu.ops.ks_kernel import (
+    ks_renormalize_u,
+    ks_rhs_u,
+    ks_symplectic_step_u,
+)
+
+HIT_NONE = 0
+HIT_HORIZON = 1
+HIT_ESCAPE = 2
+
+TILE = 512  # rays per grid program: (8, 512) f32 state = 16 KB in VMEM
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _march_kernel(params_ref, y_ref, yo_ref, hit_ref, steps_ref, cr_ref,
+                  cp_ref, ct_ref, nc_ref, *, cfg):
+    m = params_ref[0, 0]
+    a = params_ref[0, 1]
+    r_h = params_ref[0, 2]
+    r_ph = params_ref[0, 3]
+    horizon_r = cfg.horizon_factor * r_h
+
+    yt0 = y_ref[:, :]
+    n = yt0.shape[1]
+    k_slots = cfg.max_crossings
+    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (k_slots, n), 0)
+
+    hit0 = jnp.where(yt0[1] < horizon_r, HIT_HORIZON, HIT_NONE).astype(jnp.int32)
+    zeros_k = jnp.zeros((k_slots, n), dtype=yt0.dtype)
+
+    def cond(carry):
+        i, yt, hit, steps, cr, cp, ct, nc = carry
+        # Per-tile early exit: stop when every ray in the tile is done.
+        return (i < cfg.max_steps) & jnp.any(hit == HIT_NONE)
+
+    def body(carry):
+        i, yt, hit, steps, cr, cp, ct, nc = carry
+        active = hit == HIT_NONE
+
+        r = yt[1]
+        u = yt[2]
+        base = (r - r_h) * cfg.step_rate
+        far = jnp.maximum(r / cfg.far_boost_radius, 1.0)
+        prox = jnp.clip(jnp.abs(r - r_ph) / jnp.maximum(r_ph, 1e-3), 0.25, 1.0)
+        dlam = jnp.clip(base * far * prox, cfg.min_step, cfg.max_step)
+
+        w = jnp.maximum(1.0 - u * u, 1e-12)
+        sig = r * r + a * a * u * u
+        du_rate = jnp.abs(w * yt[6] / sig) + 1e-12
+        margin = 1.0 - jnp.abs(u) + 1e-6
+        dlam = jnp.minimum(dlam, jnp.maximum(0.5 * margin / du_rate, cfg.min_step))
+
+        yt_next = ks_symplectic_step_u(m, a, yt, dlam, cfg.midpoint_iters)
+        yt_next = yt_next.at[2].set(jnp.clip(yt_next[2], -1.0 + 1e-7, 1.0 - 1e-7))
+
+        renorm = (i % cfg.renormalize_every) == cfg.renormalize_every - 1
+        yt_next = jnp.where(renorm, ks_renormalize_u(m, a, yt_next), yt_next)
+
+        u0 = yt[2]
+        u1 = yt_next[2]
+        frac = jnp.clip(
+            u0 / jnp.where(jnp.abs(u0 - u1) < 1e-12, 1e-12, u0 - u1), 0.0, 1.0
+        )
+        r_c = yt[1] + frac * (yt_next[1] - yt[1])
+        phi_c = yt[3] + frac * (yt_next[3] - yt[3])
+        t_c = yt[0] + frac * (yt_next[0] - yt[0])
+        crossed = (
+            active
+            & ((u0 * u1) < 0.0)
+            & (r_c > cfg.record_r_min)
+            & (r_c < cfg.record_r_max)
+            & (nc < k_slots)
+        )
+        mask_k = crossed[None, :] & (nc[None, :] == slot_ids)
+        cr = jnp.where(mask_k, jnp.where(crossed, r_c, 0.0)[None, :], cr)
+        cp = jnp.where(mask_k, jnp.where(crossed, phi_c, 0.0)[None, :], cp)
+        ct = jnp.where(mask_k, jnp.where(crossed, t_c, 0.0)[None, :], ct)
+        nc = nc + crossed.astype(jnp.int32)
+
+        sane = (
+            jnp.isfinite(yt_next[1])
+            & jnp.isfinite(yt_next[3])
+            & jnp.isfinite(yt_next[5])
+            & jnp.isfinite(yt_next[6])
+            & (jnp.abs(yt_next[5]) < 1e7)
+            & (jnp.abs(yt_next[6]) < 1e7)
+            & (yt_next[1] < 8.0 * cfg.escape_radius)
+        )
+        advance = active & sane
+        yt = jnp.where(advance[None, :], yt_next, yt)
+        steps = steps + advance.astype(jnp.int32)
+        hit = jnp.where(active & ~sane, HIT_HORIZON, hit)
+
+        r_new = yt[1]
+        hit = jnp.where(active & (r_new < horizon_r), HIT_HORIZON, hit)
+        hit = jnp.where(active & (r_new > cfg.escape_radius), HIT_ESCAPE, hit)
+        return i + 1, yt, hit, steps, cr, cp, ct, nc
+
+    carry = (
+        jnp.int32(0),
+        yt0,
+        hit0,
+        jnp.zeros((n,), jnp.int32),
+        zeros_k,
+        zeros_k,
+        zeros_k,
+        jnp.zeros((n,), jnp.int32),
+    )
+    _, yt, hit, steps, cr, cp, ct, nc = jax.lax.while_loop(cond, body, carry)
+    hit = jnp.where(hit == HIT_NONE, HIT_HORIZON, hit)
+
+    yo_ref[:, :] = yt
+    hit_ref[0, :] = hit
+    steps_ref[0, :] = steps
+    cr_ref[:, :] = cr
+    cp_ref[:, :] = cp
+    ct_ref[:, :] = ct
+    nc_ref[0, :] = nc
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+def pallas_march_u(yt0: jnp.ndarray, m, a, r_h, r_ph, cfg, interpret: bool = False):
+    """Run the tile-resident march. yt0: (8, N) u-coordinate f32 state
+    (pre-renormalized). Returns (yt, hit, steps, cross_r, cross_phi,
+    cross_t, ncross) with the same shapes/meanings as the jnp march
+    internals. N is padded to a TILE multiple internally.
+    """
+    n = yt0.shape[1]
+    n_pad = _cdiv(n, TILE) * TILE
+    if n_pad != n:
+        # Padded rays are born at r = 0: inside the horizon, dead at step 0.
+        yt0 = jnp.pad(yt0, ((0, 0), (0, n_pad - n)))
+
+    params = jnp.stack(
+        [m, a, r_h, r_ph, jnp.zeros_like(m), jnp.zeros_like(m), jnp.zeros_like(m),
+         jnp.zeros_like(m)]
+    ).reshape(1, 8).astype(yt0.dtype)
+
+    k_slots = cfg.max_crossings
+    grid = (n_pad // TILE,)
+    kernel = functools.partial(_march_kernel, cfg=cfg)
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((8, n_pad), yt0.dtype),       # y out
+        jax.ShapeDtypeStruct((1, n_pad), jnp.int32),       # hit
+        jax.ShapeDtypeStruct((1, n_pad), jnp.int32),       # steps
+        jax.ShapeDtypeStruct((k_slots, n_pad), yt0.dtype), # cross_r
+        jax.ShapeDtypeStruct((k_slots, n_pad), yt0.dtype), # cross_phi
+        jax.ShapeDtypeStruct((k_slots, n_pad), yt0.dtype), # cross_t
+        jax.ShapeDtypeStruct((1, n_pad), jnp.int32),       # ncross
+    )
+    row_spec = lambda rows: pl.BlockSpec(
+        (rows, TILE), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # params (1, 8)
+            row_spec(8),
+        ],
+        out_specs=(
+            row_spec(8),
+            row_spec(1),
+            row_spec(1),
+            row_spec(k_slots),
+            row_spec(k_slots),
+            row_spec(k_slots),
+            row_spec(1),
+        ),
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(params, yt0)
+
+    yt, hit, steps, cr, cp, ct, nc = outs
+    sl = slice(0, n)
+    return (
+        yt[:, sl],
+        hit[0, sl],
+        steps[0, sl],
+        cr[:, sl],
+        cp[:, sl],
+        ct[:, sl],
+        nc[0, sl],
+    )

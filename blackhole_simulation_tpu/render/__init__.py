@@ -21,6 +21,7 @@ from blackhole_simulation_tpu.render.march import (
 )
 from blackhole_simulation_tpu.render.shading import (
     DiskParams,
+    JetParams,
     StarfieldParams,
     blackbody_ramp,
     disk_emission,
@@ -51,6 +52,7 @@ __all__ = [
     "MarchResult",
     "march",
     "DiskParams",
+    "JetParams",
     "StarfieldParams",
     "blackbody_ramp",
     "disk_emission",

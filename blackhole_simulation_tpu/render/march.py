@@ -7,17 +7,19 @@ Hamiltonian KS march with disk-crossing detection):
 
  - all rays advance together in ONE ``lax.fori_loop`` with per-ray active
    masks — the reference exits (horizon / escape) freeze rays in place,
- - the integrator is the sparse scalar-component symplectic implicit-midpoint
-   step on the exact Kerr-Schild Hamiltonian (ops/ks_kernel) — horizon-
-   regular, nearly reversible, 3 RHS evaluations/step, zero 4x4 tensors,
- - step size is curvature-adaptive: dlam = clamp((r - r_h) * rate, lo, hi)
-   with a far-field boost (fragment.glsl.ts:141-159), vectorized,
- - equatorial-plane crossings are *recorded* (interpolated r, phi, t into K
-   fixed slots per ray) but NOT shaded here: shading runs once per crossing
-   after the march (render/shading.py), keeping transcendental-heavy math
-   (blackbody pow/log, noise hashes, g-factor) out of the 256x step loop —
-   the optimization that moves the march from shading-bound to
-   geometry-bound on TPU,
+ - the integrator is the sparse implicit-midpoint step on the exact
+   Kerr-Schild Hamiltonian in (t, r, u=cos(theta), phi) coordinates
+   (ops/ks_kernel.ks_rhs_u): the RHS is purely *rational* — zero sin/cos in
+   the hot loop — and the polar axis weakens from a 1/sin^2 blow-up to a
+   smooth du/dlam -> 0,
+ - the loop carries state TRANSPOSED as (8, N): with (N, 8) the state slots
+   sit in the 128-lane minor dimension at 8/128 utilization,
+ - step size is curvature-adaptive (fragment.glsl.ts:141-159) with a
+   pole-proximity throttle, and any ray whose state goes non-finite is
+   frozen as captured (the reference's NaN-guard idea, camera.rs:36-38),
+ - equatorial-plane crossings (u sign change) are *recorded* into K fixed
+   slots per ray and shaded once after the march (render/shading.py),
+ - optional optically-thin jet emission accumulates per step,
  - the whole march is differentiable; gradients freeze with the masks.
 
 The march works in any float dtype: f32 for the fast path, f64 when used as
@@ -34,7 +36,12 @@ import jax
 import jax.numpy as jnp
 
 from blackhole_simulation_tpu.geometry.metrics import KS, Kerr
-from blackhole_simulation_tpu.ops.ks_kernel import ks_renormalize, ks_symplectic_step
+from blackhole_simulation_tpu.ops.ks_kernel import (
+    ks_renormalize_u,
+    ks_symplectic_step_u,
+    theta_state_to_u,
+    u_state_to_theta,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -46,7 +53,9 @@ class MarchConfig:
     step-rate ~0.1 of (r - r_h), horizon threshold 1.01 r+, escape at the
     camera-distance scale. ``max_crossings`` fixes the number of recorded
     disk-plane intersections per ray (higher-order images: the photon ring
-    needs >= 3).
+    needs >= 3). ``midpoint_iters`` is the fixed-point iteration count of
+    the implicit-midpoint step (2 mirrors the reference WGSL; 1 trades a
+    third of the RHS evaluations for slightly lower accuracy).
     """
 
     max_steps: int = 256
@@ -60,6 +69,11 @@ class MarchConfig:
     max_crossings: int = 4           # K recorded equator crossings per ray
     record_r_min: float = 1.0        # crossing radial window (disk extent)
     record_r_max: float = 30.0
+    midpoint_iters: int = 2
+    # Tile-resident Pallas kernel (ops/pallas_march.py): ~VMEM-resident march
+    # with per-tile early exit. Forward-only — the jnp path keeps the VJP —
+    # and incompatible with in-loop jet accumulation.
+    use_pallas: bool = False
 
 
 # Flags describing how each ray ended (mirrors TerminationReason).
@@ -71,35 +85,44 @@ HIT_ESCAPE = 2
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=[
-        "state", "hit", "steps", "cross_r", "cross_phi", "cross_t", "n_crossings",
+        "state", "hit", "steps", "cross_r", "cross_phi", "cross_t",
+        "n_crossings", "jet_radiance",
     ],
     meta_fields=[],
 )
 @dataclasses.dataclass(frozen=True)
 class MarchResult:
-    state: jnp.ndarray        # (N, 8) final phase-space state
+    state: jnp.ndarray        # (N, 8) final phase-space state (theta form)
     hit: jnp.ndarray          # (N,) HIT_* code
     steps: jnp.ndarray        # (N,) steps taken while active
     cross_r: jnp.ndarray      # (N, K) interpolated crossing radii (0 = empty)
     cross_phi: jnp.ndarray    # (N, K) crossing azimuths
     cross_t: jnp.ndarray      # (N, K) crossing coordinate times
     n_crossings: jnp.ndarray  # (N,) number of recorded crossings
+    jet_radiance: jnp.ndarray # (N, 3) accumulated optically-thin jet emission
 
 
-def adaptive_dlam(r, r_h, cfg: MarchConfig, dtype):
-    """Curvature-adaptive affine step (fragment.glsl.ts:141-159, vectorized)."""
+def adaptive_dlam(r, r_h, r_ph, cfg: MarchConfig, dtype):
+    """Curvature-adaptive affine step (fragment.glsl.ts:141-159, vectorized):
+    grows with (r - r_h), boosted in the far field, clamped down near the
+    photon sphere where near-critical rays orbit (the reference's
+    photon-sphere proximity clamp)."""
     base = (r - r_h) * cfg.step_rate
     far = jnp.maximum(r / cfg.far_boost_radius, 1.0)  # far-field boost
-    return jnp.clip(base * far, cfg.min_step, cfg.max_step).astype(dtype)
+    prox = jnp.clip(jnp.abs(r - r_ph) / jnp.maximum(r_ph, 1e-3), 0.25, 1.0)
+    return jnp.clip(base * far * prox, cfg.min_step, cfg.max_step).astype(dtype)
 
 
 def march(
     y0: jnp.ndarray,
     bh: Kerr,
     cfg: MarchConfig = MarchConfig(),
+    jets=None,
 ):
     """March a batch of KS-chart null rays to horizon/escape, recording
-    equatorial-plane crossings. Returns a MarchResult. Fully differentiable.
+    equatorial-plane crossings. ``jets``: optional shading.JetParams — when
+    set, optically-thin jet emission accumulates per step. Returns a
+    MarchResult. Fully differentiable.
     """
     assert bh.chart == KS, "the fast march integrates in the Kerr-Schild chart"
     dtype = y0.dtype
@@ -108,83 +131,145 @@ def march(
     m_bh = bh.mass.astype(dtype)
     a_bh = bh.spin.astype(dtype)
     r_h = bh.event_horizon().astype(dtype)
+    r_ph = bh.photon_sphere().astype(dtype)
     horizon_r = cfg.horizon_factor * r_h
     slot_ids = jnp.arange(k_slots)
 
-    y0 = ks_renormalize(m_bh, a_bh, y0)
+    yt0 = ks_renormalize_u(m_bh, a_bh, theta_state_to_u(y0.T))
+
+    if cfg.use_pallas and jets is None:
+        from blackhole_simulation_tpu.ops.pallas_march import pallas_march_u
+
+        interpret = jax.default_backend() != "tpu"
+        yt, hit, steps, cr, cp, ct, ncross = pallas_march_u(
+            yt0, m_bh, a_bh, r_h, r_ph, cfg, interpret=interpret
+        )
+        return MarchResult(
+            state=u_state_to_theta(yt).T,
+            hit=hit,
+            steps=steps,
+            cross_r=cr.T,
+            cross_phi=cp.T,
+            cross_t=ct.T,
+            n_crossings=ncross,
+            jet_radiance=jnp.zeros((n, 3), dtype=dtype),
+        )
 
     def body(i, carry):
-        y, hit, steps, cr, cp, ct, ncross = carry
+        yt, hit, steps, cr, cp, ct, ncross, jet_rgb = carry
         active = hit == HIT_NONE
 
-        r = y[..., 1]
-        dlam = adaptive_dlam(r, r_h, cfg, dtype)
-        y_next = ks_symplectic_step(m_bh, a_bh, y, dlam)
+        r = yt[1]
+        u = yt[2]
+        dlam = adaptive_dlam(r, r_h, r_ph, cfg, dtype)
+
+        # Pole throttle: cap the step so u cannot overshoot past +-1 (where
+        # w = 1 - u^2 hits its guard and dphi/dlam spikes). du/dlam = w pu/S.
+        w = jnp.maximum(1.0 - u * u, 1e-12)
+        sig = r * r + a_bh * a_bh * u * u
+        du_rate = jnp.abs(w * yt[6] / sig) + 1e-12
+        margin = 1.0 - jnp.abs(u) + 1e-6
+        dlam = jnp.minimum(dlam, jnp.maximum(0.5 * margin / du_rate, cfg.min_step))
+
+        yt_next = ks_symplectic_step_u(m_bh, a_bh, yt, dlam, cfg.midpoint_iters)
+        # Keep u inside the chart after any residual overshoot.
+        yt_next = yt_next.at[2].set(jnp.clip(yt_next[2], -1.0 + 1e-7, 1.0 - 1e-7))
+
+        if jets is not None:
+            from blackhole_simulation_tpu.render.shading import jet_emission_step
+
+            inv = 1.0 / dlam
+            st = jnp.sqrt(w)
+            contrib = jet_emission_step(
+                jets,
+                r, st, u, yt[3],
+                (yt_next[1] - yt[1]) * inv,
+                -(yt_next[2] - yt[2]) * inv / st,  # dtheta = -du / sin(theta)
+                (yt_next[3] - yt[3]) * inv,
+                dlam,
+                dtype,
+            )  # (3, N)
+            jet_rgb = jet_rgb + jnp.where(active[None, :], contrib, 0.0)
 
         # Periodic null renormalization to hold H = 0 in low precision.
         renorm = (i % cfg.renormalize_every) == cfg.renormalize_every - 1
-        y_next = jnp.where(renorm, ks_renormalize(m_bh, a_bh, y_next), y_next)
+        yt_next = jnp.where(renorm, ks_renormalize_u(m_bh, a_bh, yt_next), yt_next)
 
-        # Equator-crossing detection + interpolated record
+        # Equator-crossing detection: u sign change; interpolate the record
         # (chunks/disk.ts:22-31 / compute.wgsl.ts:217, recorded not shaded).
-        c0 = jnp.cos(y[..., 2])
-        c1 = jnp.cos(y_next[..., 2])
+        u0 = yt[2]
+        u1 = yt_next[2]
         frac = jnp.clip(
-            c0 / jnp.where(jnp.abs(c0 - c1) < 1e-12, 1e-12, c0 - c1), 0.0, 1.0
+            u0 / jnp.where(jnp.abs(u0 - u1) < 1e-12, 1e-12, u0 - u1), 0.0, 1.0
         )
-        r_c = y[..., 1] + frac * (y_next[..., 1] - y[..., 1])
-        phi_c = y[..., 3] + frac * (y_next[..., 3] - y[..., 3])
-        t_c = y[..., 0] + frac * (y_next[..., 0] - y[..., 0])
+        r_c = yt[1] + frac * (yt_next[1] - yt[1])
+        phi_c = yt[3] + frac * (yt_next[3] - yt[3])
+        t_c = yt[0] + frac * (yt_next[0] - yt[0])
         crossed = (
             active
-            & ((c0 * c1) < 0.0)
+            & ((u0 * u1) < 0.0)
             & (r_c > cfg.record_r_min)
             & (r_c < cfg.record_r_max)
             & (ncross < k_slots)
         )
         # Scatter into the next free slot: one-hot over K static slots.
-        mask_k = crossed[:, None] & (ncross[:, None] == slot_ids[None, :])
-        safe_r = jnp.where(crossed, r_c, 0.0)
-        safe_phi = jnp.where(crossed, phi_c, 0.0)
-        safe_t = jnp.where(crossed, t_c, 0.0)
-        cr = jnp.where(mask_k, safe_r[:, None], cr)
-        cp = jnp.where(mask_k, safe_phi[:, None], cp)
-        ct = jnp.where(mask_k, safe_t[:, None], ct)
+        mask_k = crossed[None, :] & (ncross[None, :] == slot_ids[:, None])
+        cr = jnp.where(mask_k, jnp.where(crossed, r_c, 0.0)[None, :], cr)
+        cp = jnp.where(mask_k, jnp.where(crossed, phi_c, 0.0)[None, :], cp)
+        ct = jnp.where(mask_k, jnp.where(crossed, t_c, 0.0)[None, :], ct)
         ncross = ncross + crossed.astype(jnp.int32)
 
-        y = jnp.where(active[..., None], y_next, y)
-        steps = steps + active.astype(jnp.int32)
+        # Stability safety net (the reference's NaN validation + rollback,
+        # gravitas-wasm camera.rs): near-critical whirling rays can diverge
+        # exponentially in f32 — freeze a ray as captured the moment its
+        # state goes non-finite OR its momenta/radius leave sane bounds
+        # (a diverged ray once produced r ~ 7e6 and was misread as escaped).
+        sane = (
+            jnp.isfinite(yt_next[1])
+            & jnp.isfinite(yt_next[3])
+            & jnp.isfinite(yt_next[5])
+            & jnp.isfinite(yt_next[6])
+            & (jnp.abs(yt_next[5]) < 1e7)
+            & (jnp.abs(yt_next[6]) < 1e7)
+            & (yt_next[1] < 8.0 * cfg.escape_radius)
+        )
+        advance = active & sane
+        yt = jnp.where(advance[None, :], yt_next, yt)
+        steps = steps + advance.astype(jnp.int32)
+        hit = jnp.where(active & ~sane, HIT_HORIZON, hit)
 
-        r_new = y[..., 1]
+        r_new = yt[1]
         hit = jnp.where(active & (r_new < horizon_r), HIT_HORIZON, hit)
         hit = jnp.where(active & (r_new > cfg.escape_radius), HIT_ESCAPE, hit)
-        return y, hit, steps, cr, cp, ct, ncross
+        return yt, hit, steps, cr, cp, ct, ncross, jet_rgb
 
     hit0 = jnp.zeros(n, dtype=jnp.int32)
     # Rays born inside the horizon terminate immediately.
-    hit0 = jnp.where(y0[..., 1] < horizon_r, HIT_HORIZON, hit0)
-    zeros_k = jnp.zeros((n, k_slots), dtype=dtype)
+    hit0 = jnp.where(yt0[1] < horizon_r, HIT_HORIZON, hit0)
+    zeros_k = jnp.zeros((k_slots, n), dtype=dtype)
     carry = (
-        y0,
+        yt0,
         hit0,
         jnp.zeros(n, dtype=jnp.int32),
         zeros_k,
         zeros_k,
         zeros_k,
         jnp.zeros(n, dtype=jnp.int32),
+        jnp.zeros((3, n), dtype=dtype),
     )
-    y, hit, steps, cr, cp, ct, ncross = jax.lax.fori_loop(
+    yt, hit, steps, cr, cp, ct, ncross, jet_rgb = jax.lax.fori_loop(
         0, cfg.max_steps, body, carry
     )
     # Step budget exhausted while still live: closest to a horizon-bound ray
     # (photon-ring orbiters) — classify as horizon like the reference's cap.
     hit = jnp.where(hit == HIT_NONE, HIT_HORIZON, hit)
     return MarchResult(
-        state=y,
+        state=u_state_to_theta(yt).T,
         hit=hit,
         steps=steps,
-        cross_r=cr,
-        cross_phi=cp,
-        cross_t=ct,
+        cross_r=cr.T,
+        cross_phi=cp.T,
+        cross_t=ct.T,
         n_crossings=ncross,
+        jet_radiance=jet_rgb.T,
     )

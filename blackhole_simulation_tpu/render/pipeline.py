@@ -29,6 +29,7 @@ from blackhole_simulation_tpu.render.march import (
 from blackhole_simulation_tpu.render.post import PostParams, tonemap
 from blackhole_simulation_tpu.render.shading import (
     DiskParams,
+    JetParams,
     StarfieldParams,
     escape_direction,
     shade_disk_crossings,
@@ -45,15 +46,17 @@ class Features:
     disk: bool = True
     starfield: bool = True
     photon_ring_glow: bool = True
+    jets: bool = False  # requires disk (the ShaderManager rule, manager.ts:57-73)
 
     def __post_init__(self):
-        pass
+        if self.jets and not self.disk:
+            object.__setattr__(self, "jets", False)
 
 
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["bh", "camera"],
-    meta_fields=["disk", "stars", "features", "march_cfg", "post"],
+    meta_fields=["disk", "jet_params", "stars", "features", "march_cfg", "post"],
 )
 @dataclasses.dataclass(frozen=True)
 class Scene:
@@ -63,6 +66,7 @@ class Scene:
     bh: Kerr
     camera: Camera
     disk: DiskParams = DiskParams()
+    jet_params: JetParams = JetParams()
     stars: StarfieldParams = StarfieldParams()
     features: Features = Features()
     march_cfg: MarchConfig = MarchConfig()
@@ -124,6 +128,10 @@ def shade_sample(
     # (fragment.glsl.ts:270-274).
     rgb = rgb + jnp.where(escaped, trans, 0.0)[..., None] * bg
 
+    if scene.features.jets:
+        # Optically-thin jets: additive on top (chunks/disk.ts:117-155).
+        rgb = rgb + result.jet_radiance
+
     if scene.features.photon_ring_glow:
         # e^{-k |r_min - r_ph|} glow on rays that skim the photon sphere
         # (fragment.glsl.ts:246-257) — approximated by step count: orbiters
@@ -147,7 +155,8 @@ def render_sample(scene: Scene, jitter, dtype=jnp.float32) -> jnp.ndarray:
         chart=KS,
     )
     rays = camera_rays(scene.camera, bh, jitter=jitter, dtype=dtype)
-    result = march(rays, bh, scene.march_cfg)
+    jets = scene.jet_params if scene.features.jets else None
+    result = march(rays, bh, scene.march_cfg, jets=jets)
     return shade_sample(result, bh, scene, dtype, rays)
 
 

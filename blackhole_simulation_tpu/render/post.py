@@ -38,11 +38,13 @@ _GAUSS9 = jnp.array(
 
 def _blur_axis(img: jnp.ndarray, axis: int) -> jnp.ndarray:
     """Separable 9-tap Gaussian along one spatial axis, edge-clamped."""
-    out = _GAUSS9[4] * img
+    g = _GAUSS9.astype(img.dtype)  # keep the pass in the image dtype: an f64
+    # constant would promote the whole blur to (TPU-emulated) float64
+    out = g[4] * img
     for k in range(1, 5):
         up = jnp.roll(img, k, axis=axis)
         dn = jnp.roll(img, -k, axis=axis)
-        out = out + _GAUSS9[4 - k] * up + _GAUSS9[4 + k] * dn
+        out = out + g[4 - k] * up + g[4 + k] * dn
     return out
 
 

@@ -262,6 +262,60 @@ def shade_disk_crossings(
 # ---------------------------------------------------------------------------
 
 @dataclasses.dataclass(frozen=True)
+class JetParams:
+    """Relativistic jet cones along the spin axis (chunks/disk.ts:117-155).
+
+    Static config; the march accumulates jet emission per step only when the
+    feature is enabled (a traced-variant toggle like the reference's
+    ENABLE_JETS #define, with the jets-require-disk rule in configs).
+    """
+
+    beta: float = 0.92           # bulk flow speed (chunks/disk.ts: beta=0.92)
+    beaming_exponent: float = 3.5
+    core_radius: float = 0.6     # cone radius at the base, in M
+    opening_slope: float = 0.22  # dr_cone / d|z|
+    z_min: float = 1.2           # emission window along the axis
+    z_max: float = 24.0
+    density: float = 0.012
+    turbulence: float = 0.5
+
+
+def jet_emission_step(jets: JetParams, r, st, ct, ph, dr, dth, dph, dlam, dtype):
+    """Per-step jet volume sample in the march's (8, N) layout: (3, N).
+
+    Cheap by design (runs inside the march): cone test + Gaussian radial
+    profile + 1-octave noise + Doppler beaming against the local ray
+    direction. Optically thin (additive, no alpha). ``st``/``ct`` are
+    sin/cos(theta) supplied by the march (it tracks u = cos(theta) natively).
+    """
+    z = r * ct
+    rho = jnp.abs(r * st)
+    az = jnp.abs(z)
+    cone_r = jets.core_radius + jets.opening_slope * az
+    in_cone = (az > jets.z_min) & (az < jets.z_max) & (rho < 2.5 * cone_r)
+    profile = jnp.exp(-(rho / jnp.maximum(cone_r, 1e-3)) ** 2)
+
+    # Ray direction cosine along the jet flow (+-z with the flow sign).
+    v_z = dr * ct - r * st * dth
+    v_rho = dr * st + r * ct * dth
+    v_ph = r * st * dph
+    v_mag = jnp.sqrt(v_z * v_z + v_rho * v_rho + v_ph * v_ph + 1e-12)
+    # The jet on the +z side flows +z, on -z flows -z; the *observed* photon
+    # travels opposite to the camera ray -> beaming for flow toward camera.
+    cos_psi = -jnp.sign(z) * v_z / v_mag
+    gamma = 1.0 / jnp.sqrt(1.0 - jets.beta * jets.beta)
+    delta = 1.0 / (gamma * (1.0 - jets.beta * jnp.clip(cos_psi, -1.0, 1.0)))
+    beam = delta ** jets.beaming_exponent
+
+    noise = value_noise2(az * 0.8, jnp.mod(ph, 2.0 * jnp.pi) * 2.0 + az)
+    turb = 1.0 - jets.turbulence + jets.turbulence * (0.5 + noise)
+
+    mag = jnp.where(in_cone, jets.density * dlam * profile * turb * beam, 0.0)
+    color = jnp.array([0.62, 0.74, 1.0], dtype=dtype)  # synchrotron blue-white
+    return color[:, None] * mag[None, :].astype(dtype)
+
+
+@dataclasses.dataclass(frozen=True)
 class StarfieldParams:
     density: float = 0.0015       # stars per cell at the fine scale
     brightness: float = 1.4

