@@ -27,6 +27,7 @@ Derivatives used (S_r = 2r, S_th = -a^2 sin(2 th), D_r = 2r - 2M):
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 _SIN2_EPS = 1e-12
@@ -249,6 +250,13 @@ def ks_symplectic_step_t(m, a, yt, dlam, iterations: int = 2):
 _W_EPS = 1e-12
 
 
+def set_row(yt, k: int, val):
+    """Replace row k of a (8, N) state without jnp .at scatter — Pallas TPU
+    has no scatter lowering; an iota row mask selects instead."""
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, yt.shape, 0)
+    return jnp.where(row_ids == k, val[None, :], yt)
+
+
 def theta_state_to_u(yt):
     """(8,N) state with theta/p_theta -> u/p_u rows."""
     th, pth = yt[2], yt[6]
@@ -345,7 +353,15 @@ def ks_rhs_u(m, a, yt):
 
 
 def ks_renormalize_u(m, a, yt):
-    """Project p_r onto H = 0 in u-coordinates; yt (8, N)."""
+    """Project p_r onto H = 0 in u-coordinates; yt (8, N).
+
+    All where/maximum fallback constants are dtype-typed: under x64 a bare
+    python float inside where() becomes an f64 scalar, which poisons the
+    Pallas/mosaic lowering (64-bit emulation) when this runs in-kernel.
+    """
+    dt = yt.dtype
+    one = jnp.asarray(1.0, dt)
+    tiny = jnp.asarray(1e-30, dt)
     r, u = yt[1], yt[2]
     pt, pr, pu, pph = yt[4], yt[5], yt[6], yt[7]
     w, S, D, inv_S, h = _geom_u(m, a, r, u)
@@ -354,12 +370,12 @@ def ks_renormalize_u(m, a, yt):
     C = -(1.0 + h) * pt * pt + w * inv_S * pu * pu + pph * pph * inv_S / w
     disc = B * B - 4.0 * A * C
     valid = (disc >= 0.0) & (jnp.abs(A) > 1e-12)
-    sqrt_d = jnp.sqrt(jnp.where(valid, jnp.maximum(disc, 1e-30), 1.0))
-    denom = jnp.where(valid, 2.0 * A, 1.0)
+    sqrt_d = jnp.sqrt(jnp.where(valid, jnp.maximum(disc, tiny), one))
+    denom = jnp.where(valid, 2.0 * A, one)
     sol1 = (-B + sqrt_d) / denom
     sol2 = (-B - sqrt_d) / denom
     nearest = jnp.where(jnp.abs(sol1 - pr) < jnp.abs(sol2 - pr), sol1, sol2)
-    return yt.at[5].set(jnp.where(valid, nearest, pr))
+    return set_row(yt, 5, jnp.where(valid, nearest, pr))
 
 
 def ks_symplectic_step_u(m, a, yt, dlam, iterations: int = 2):

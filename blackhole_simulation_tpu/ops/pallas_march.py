@@ -30,6 +30,7 @@ from blackhole_simulation_tpu.ops.ks_kernel import (
     ks_renormalize_u,
     ks_rhs_u,
     ks_symplectic_step_u,
+    set_row,
 )
 
 HIT_NONE = 0
@@ -45,87 +46,105 @@ def _cdiv(a: int, b: int) -> int:
 
 def _march_kernel(params_ref, y_ref, yo_ref, hit_ref, steps_ref, cr_ref,
                   cp_ref, ct_ref, nc_ref, *, cfg):
+    yt0 = y_ref[:, :]
+    dt = yt0.dtype
+    # Every numeric literal must be dtype-typed: with jax_enable_x64 on,
+    # bare python floats/ints inside clip/where materialize f64/i64 scalars,
+    # and mosaic's 64-bit emulation path blows the recursion limit.
+    F = lambda v: jnp.asarray(v, dt)
+    I = lambda v: jnp.asarray(v, jnp.int32)
+
     m = params_ref[0, 0]
     a = params_ref[0, 1]
     r_h = params_ref[0, 2]
     r_ph = params_ref[0, 3]
-    horizon_r = cfg.horizon_factor * r_h
+    horizon_r = F(cfg.horizon_factor) * r_h
 
-    yt0 = y_ref[:, :]
     n = yt0.shape[1]
     k_slots = cfg.max_crossings
     slot_ids = jax.lax.broadcasted_iota(jnp.int32, (k_slots, n), 0)
 
-    hit0 = jnp.where(yt0[1] < horizon_r, HIT_HORIZON, HIT_NONE).astype(jnp.int32)
-    zeros_k = jnp.zeros((k_slots, n), dtype=yt0.dtype)
+    hit0 = jnp.where(yt0[1] < horizon_r, I(HIT_HORIZON), I(HIT_NONE))
+    zeros_k = jnp.zeros((k_slots, n), dtype=dt)
 
     def cond(carry):
         i, yt, hit, steps, cr, cp, ct, nc = carry
         # Per-tile early exit: stop when every ray in the tile is done.
-        return (i < cfg.max_steps) & jnp.any(hit == HIT_NONE)
+        # (int32 max-reduce: jnp.any lowers through an f64 squeeze when
+        # jax_enable_x64 is on, which mosaic rejects.)
+        n_live = jnp.max(jnp.where(hit == I(HIT_NONE), I(1), I(0)))
+        return (i < I(cfg.max_steps)) & (n_live > I(0))
 
     def body(carry):
         i, yt, hit, steps, cr, cp, ct, nc = carry
-        active = hit == HIT_NONE
+        active = hit == I(HIT_NONE)
 
         r = yt[1]
         u = yt[2]
-        base = (r - r_h) * cfg.step_rate
-        far = jnp.maximum(r / cfg.far_boost_radius, 1.0)
-        prox = jnp.clip(jnp.abs(r - r_ph) / jnp.maximum(r_ph, 1e-3), 0.25, 1.0)
-        dlam = jnp.clip(base * far * prox, cfg.min_step, cfg.max_step)
+        base = (r - r_h) * F(cfg.step_rate)
+        far = jnp.maximum(r / F(cfg.far_boost_radius), F(1.0))
+        prox = jnp.clip(
+            jnp.abs(r - r_ph) / jnp.maximum(r_ph, F(1e-3)), F(0.25), F(1.0)
+        )
+        dlam = jnp.clip(base * far * prox, F(cfg.min_step), F(cfg.max_step))
 
-        w = jnp.maximum(1.0 - u * u, 1e-12)
+        w = jnp.maximum(F(1.0) - u * u, F(1e-12))
         sig = r * r + a * a * u * u
-        du_rate = jnp.abs(w * yt[6] / sig) + 1e-12
-        margin = 1.0 - jnp.abs(u) + 1e-6
-        dlam = jnp.minimum(dlam, jnp.maximum(0.5 * margin / du_rate, cfg.min_step))
+        du_rate = jnp.abs(w * yt[6] / sig) + F(1e-12)
+        margin = F(1.0) - jnp.abs(u) + F(1e-6)
+        dlam = jnp.minimum(
+            dlam, jnp.maximum(F(0.5) * margin / du_rate, F(cfg.min_step))
+        )
 
         yt_next = ks_symplectic_step_u(m, a, yt, dlam, cfg.midpoint_iters)
-        yt_next = yt_next.at[2].set(jnp.clip(yt_next[2], -1.0 + 1e-7, 1.0 - 1e-7))
+        yt_next = set_row(
+            yt_next, 2, jnp.clip(yt_next[2], F(-1.0 + 1e-7), F(1.0 - 1e-7))
+        )
 
-        renorm = (i % cfg.renormalize_every) == cfg.renormalize_every - 1
+        renorm = (i % I(cfg.renormalize_every)) == I(cfg.renormalize_every - 1)
         yt_next = jnp.where(renorm, ks_renormalize_u(m, a, yt_next), yt_next)
 
         u0 = yt[2]
         u1 = yt_next[2]
         frac = jnp.clip(
-            u0 / jnp.where(jnp.abs(u0 - u1) < 1e-12, 1e-12, u0 - u1), 0.0, 1.0
+            u0 / jnp.where(jnp.abs(u0 - u1) < F(1e-12), F(1e-12), u0 - u1),
+            F(0.0),
+            F(1.0),
         )
         r_c = yt[1] + frac * (yt_next[1] - yt[1])
         phi_c = yt[3] + frac * (yt_next[3] - yt[3])
         t_c = yt[0] + frac * (yt_next[0] - yt[0])
         crossed = (
             active
-            & ((u0 * u1) < 0.0)
-            & (r_c > cfg.record_r_min)
-            & (r_c < cfg.record_r_max)
-            & (nc < k_slots)
+            & ((u0 * u1) < F(0.0))
+            & (r_c > F(cfg.record_r_min))
+            & (r_c < F(cfg.record_r_max))
+            & (nc < I(k_slots))
         )
         mask_k = crossed[None, :] & (nc[None, :] == slot_ids)
-        cr = jnp.where(mask_k, jnp.where(crossed, r_c, 0.0)[None, :], cr)
-        cp = jnp.where(mask_k, jnp.where(crossed, phi_c, 0.0)[None, :], cp)
-        ct = jnp.where(mask_k, jnp.where(crossed, t_c, 0.0)[None, :], ct)
-        nc = nc + crossed.astype(jnp.int32)
+        cr = jnp.where(mask_k, jnp.where(crossed, r_c, F(0.0))[None, :], cr)
+        cp = jnp.where(mask_k, jnp.where(crossed, phi_c, F(0.0))[None, :], cp)
+        ct = jnp.where(mask_k, jnp.where(crossed, t_c, F(0.0))[None, :], ct)
+        nc = nc + jnp.where(crossed, I(1), I(0))
 
         sane = (
             jnp.isfinite(yt_next[1])
             & jnp.isfinite(yt_next[3])
             & jnp.isfinite(yt_next[5])
             & jnp.isfinite(yt_next[6])
-            & (jnp.abs(yt_next[5]) < 1e7)
-            & (jnp.abs(yt_next[6]) < 1e7)
-            & (yt_next[1] < 8.0 * cfg.escape_radius)
+            & (jnp.abs(yt_next[5]) < F(1e7))
+            & (jnp.abs(yt_next[6]) < F(1e7))
+            & (yt_next[1] < F(8.0 * cfg.escape_radius))
         )
         advance = active & sane
         yt = jnp.where(advance[None, :], yt_next, yt)
-        steps = steps + advance.astype(jnp.int32)
-        hit = jnp.where(active & ~sane, HIT_HORIZON, hit)
+        steps = steps + jnp.where(advance, I(1), I(0))
+        hit = jnp.where(active & ~sane, I(HIT_HORIZON), hit)
 
         r_new = yt[1]
-        hit = jnp.where(active & (r_new < horizon_r), HIT_HORIZON, hit)
-        hit = jnp.where(active & (r_new > cfg.escape_radius), HIT_ESCAPE, hit)
-        return i + 1, yt, hit, steps, cr, cp, ct, nc
+        hit = jnp.where(active & (r_new < horizon_r), I(HIT_HORIZON), hit)
+        hit = jnp.where(active & (r_new > F(cfg.escape_radius)), I(HIT_ESCAPE), hit)
+        return i + I(1), yt, hit, steps, cr, cp, ct, nc
 
     carry = (
         jnp.int32(0),
@@ -138,7 +157,7 @@ def _march_kernel(params_ref, y_ref, yo_ref, hit_ref, steps_ref, cr_ref,
         jnp.zeros((n,), jnp.int32),
     )
     _, yt, hit, steps, cr, cp, ct, nc = jax.lax.while_loop(cond, body, carry)
-    hit = jnp.where(hit == HIT_NONE, HIT_HORIZON, hit)
+    hit = jnp.where(hit == I(HIT_NONE), I(HIT_HORIZON), hit)
 
     yo_ref[:, :] = yt
     hit_ref[0, :] = hit
@@ -183,25 +202,31 @@ def pallas_march_u(yt0: jnp.ndarray, m, a, r_h, r_ph, cfg, interpret: bool = Fal
     row_spec = lambda rows: pl.BlockSpec(
         (rows, TILE), lambda i: (0, i), memory_space=pltpu.VMEM
     )
-    outs = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # params (1, 8)
-            row_spec(8),
-        ],
-        out_specs=(
-            row_spec(8),
-            row_spec(1),
-            row_spec(1),
-            row_spec(k_slots),
-            row_spec(k_slots),
-            row_spec(k_slots),
-            row_spec(1),
-        ),
-        out_shape=out_shapes,
-        interpret=interpret,
-    )(params, yt0)
+    # Trace the kernel with x64 OFF: the package enables x64 globally for the
+    # f64 oracle layer, but inside a Pallas TPU kernel any stray 64-bit
+    # literal (index-map ints, where/clip scalars) either recurses mosaic's
+    # emulation lowering or fails to legalize. All operands here are already
+    # concrete 32-bit.
+    with jax.enable_x64(False):
+        outs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # params (1, 8)
+                row_spec(8),
+            ],
+            out_specs=(
+                row_spec(8),
+                row_spec(1),
+                row_spec(1),
+                row_spec(k_slots),
+                row_spec(k_slots),
+                row_spec(k_slots),
+                row_spec(1),
+            ),
+            out_shape=out_shapes,
+            interpret=interpret,
+        )(params, yt0)
 
     yt, hit, steps, cr, cp, ct, nc = outs
     sl = slice(0, n)
