@@ -250,6 +250,16 @@ def ks_symplectic_step_t(m, a, yt, dlam, iterations: int = 2):
 _W_EPS = 1e-12
 
 
+def w_floor(dtype):
+    """Pole guard floor for w = 1 - u^2, by dtype. In f32 the floor must be
+    large enough that the 1/w^2 polar terms cannot overflow inside one
+    implicit-midpoint step (u overshoots past +-1 mid-iteration): with
+    w >= 1e-6 every intermediate stays < 1e32. d(pixel)/d(spin) was NaN in
+    f32 (0-cotangent x Inf-intermediate in the VJP) with the f64 floor.
+    w = 1e-6 is theta within ~1e-3 rad of the axis — far below pixel scale."""
+    return 1e-12 if jnp.finfo(dtype).bits >= 64 else 1e-6
+
+
 def set_row(yt, k: int, val):
     """Replace row k of a (8, N) state without jnp .at scatter — Pallas TPU
     has no scatter lowering; an iota row mask selects instead."""
@@ -275,7 +285,7 @@ def u_state_to_theta(yt):
 
 
 def _geom_u(m, a, r, u):
-    w = jnp.maximum(1.0 - u * u, _W_EPS)
+    w = jnp.maximum(1.0 - u * u, w_floor(jnp.result_type(u)))
     S = r * r + a * a * u * u
     D = r * r - 2.0 * m * r + a * a
     inv_S = 1.0 / S

@@ -37,16 +37,66 @@ HIT_NONE = 0
 HIT_HORIZON = 1
 HIT_ESCAPE = 2
 
-TILE = 512  # rays per grid program: (8, 512) f32 state = 16 KB in VMEM
+# Rays per grid program, arranged as a full (sublane, lane) = (8, 128) VPU
+# tile: every per-ray quantity in the kernel is a (8, 128) 2-D array = exactly
+# one vector register. (A flat (TILE,) 1-D layout puts rays on lanes only —
+# 1 of 8 sublanes active — wasting 7/8 of the VPU.)
+SUB, LANE = 8, 128
+TILE = SUB * LANE  # 1024
+
+# Pixel-block shape for spatially coherent tiles: 32 x 32 = TILE rays.
+BLOCK_H, BLOCK_W = 32, 32
 
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def _padded_dims(height: int, width: int):
+    hp = _cdiv(height, BLOCK_H) * BLOCK_H
+    wp = _cdiv(width, BLOCK_W) * BLOCK_W
+    return hp, wp
+
+
+def to_block_order(x: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
+    """Row-major (H*W, ...) -> pixel-block-major (Hp*Wp, ...) ordering.
+
+    The kernel's early exit is per-TILE: a tile stops marching only when
+    EVERY ray in it terminated. In row-major order a 512-ray tile is a wide
+    strip of one image row, so almost every tile contains at least one slow
+    photon-ring ray and the exit never fires. Regrouping rays into compact
+    BLOCK_H x BLOCK_W pixel blocks (the reference's screen-tile
+    decomposition, _legacy_src/tiling.rs / TiledRayBatch) makes sky and
+    shadow-interior tiles spatially coherent so they quit in a fraction of
+    max_steps — measured 36 % less tile-work at 1080p a=0.999.
+
+    Implemented as reshape+transpose (a regular XLA copy — arbitrary-index
+    gathers of the same data measured ~15x slower on TPU). The image is
+    padded to block multiples with edge-replicated rays (marched normally,
+    ~0.7 % overhead at 1080p, dropped by from_block_order).
+    """
+    hp, wp = _padded_dims(height, width)
+    tail = x.shape[1:]
+    x = x.reshape(height, width, *tail)
+    x = jnp.pad(x, ((0, hp - height), (0, wp - width)) + ((0, 0),) * len(tail),
+                mode="edge")
+    x = x.reshape(hp // BLOCK_H, BLOCK_H, wp // BLOCK_W, BLOCK_W, *tail)
+    x = jnp.moveaxis(x, 1, 2)
+    return x.reshape(hp * wp, *tail)
+
+
+def from_block_order(x: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
+    """Inverse of to_block_order: (Hp*Wp, ...) -> row-major (H*W, ...)."""
+    hp, wp = _padded_dims(height, width)
+    tail = x.shape[1:]
+    x = x.reshape(hp // BLOCK_H, wp // BLOCK_W, BLOCK_H, BLOCK_W, *tail)
+    x = jnp.moveaxis(x, 2, 1).reshape(hp, wp, *tail)
+    return x[:height, :width].reshape(height * width, *tail)
+
+
 def _march_kernel(params_ref, y_ref, yo_ref, hit_ref, steps_ref, cr_ref,
                   cp_ref, ct_ref, nc_ref, *, cfg):
-    yt0 = y_ref[:, :]
+    yt0 = y_ref[0]  # (8, SUB, LANE): 8 state rows, each one full VPU vreg
     dt = yt0.dtype
     # Every numeric literal must be dtype-typed: with jax_enable_x64 on,
     # bare python floats/ints inside clip/where materialize f64/i64 scalars,
@@ -60,12 +110,11 @@ def _march_kernel(params_ref, y_ref, yo_ref, hit_ref, steps_ref, cr_ref,
     r_ph = params_ref[0, 3]
     horizon_r = F(cfg.horizon_factor) * r_h
 
-    n = yt0.shape[1]
     k_slots = cfg.max_crossings
-    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (k_slots, n), 0)
+    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (k_slots, SUB, LANE), 0)
 
     hit0 = jnp.where(yt0[1] < horizon_r, I(HIT_HORIZON), I(HIT_NONE))
-    zeros_k = jnp.zeros((k_slots, n), dtype=dt)
+    zeros_k = jnp.zeros((k_slots, SUB, LANE), dtype=dt)
 
     def cond(carry):
         i, yt, hit, steps, cr, cp, ct, nc = carry
@@ -106,26 +155,35 @@ def _march_kernel(params_ref, y_ref, yo_ref, hit_ref, steps_ref, cr_ref,
 
         u0 = yt[2]
         u1 = yt_next[2]
-        frac = jnp.clip(
-            u0 / jnp.where(jnp.abs(u0 - u1) < F(1e-12), F(1e-12), u0 - u1),
-            F(0.0),
-            F(1.0),
+        # Equator crossings are rare (a handful per ray over the whole
+        # march): hoist the interpolation + K-slot scatter behind a
+        # tile-level conditional so the common no-crossing step skips the
+        # ~4K-lane bookkeeping entirely.
+        maybe = active & ((u0 * u1) < F(0.0)) & (nc < I(k_slots))
+        any_maybe = jnp.max(jnp.where(maybe, I(1), I(0))) > I(0)
+
+        def record(args):
+            cr, cp, ct, nc = args
+            frac = jnp.clip(
+                u0 / jnp.where(jnp.abs(u0 - u1) < F(1e-12), F(1e-12), u0 - u1),
+                F(0.0),
+                F(1.0),
+            )
+            r_c = yt[1] + frac * (yt_next[1] - yt[1])
+            phi_c = yt[3] + frac * (yt_next[3] - yt[3])
+            t_c = yt[0] + frac * (yt_next[0] - yt[0])
+            crossed = (
+                maybe & (r_c > F(cfg.record_r_min)) & (r_c < F(cfg.record_r_max))
+            )
+            mask_k = crossed[None, :] & (nc[None, :] == slot_ids)
+            cr = jnp.where(mask_k, jnp.where(crossed, r_c, F(0.0))[None, :], cr)
+            cp = jnp.where(mask_k, jnp.where(crossed, phi_c, F(0.0))[None, :], cp)
+            ct = jnp.where(mask_k, jnp.where(crossed, t_c, F(0.0))[None, :], ct)
+            return cr, cp, ct, nc + jnp.where(crossed, I(1), I(0))
+
+        cr, cp, ct, nc = jax.lax.cond(
+            any_maybe, record, lambda args: args, (cr, cp, ct, nc)
         )
-        r_c = yt[1] + frac * (yt_next[1] - yt[1])
-        phi_c = yt[3] + frac * (yt_next[3] - yt[3])
-        t_c = yt[0] + frac * (yt_next[0] - yt[0])
-        crossed = (
-            active
-            & ((u0 * u1) < F(0.0))
-            & (r_c > F(cfg.record_r_min))
-            & (r_c < F(cfg.record_r_max))
-            & (nc < I(k_slots))
-        )
-        mask_k = crossed[None, :] & (nc[None, :] == slot_ids)
-        cr = jnp.where(mask_k, jnp.where(crossed, r_c, F(0.0))[None, :], cr)
-        cp = jnp.where(mask_k, jnp.where(crossed, phi_c, F(0.0))[None, :], cp)
-        ct = jnp.where(mask_k, jnp.where(crossed, t_c, F(0.0))[None, :], ct)
-        nc = nc + jnp.where(crossed, I(1), I(0))
 
         sane = (
             jnp.isfinite(yt_next[1])
@@ -150,22 +208,22 @@ def _march_kernel(params_ref, y_ref, yo_ref, hit_ref, steps_ref, cr_ref,
         jnp.int32(0),
         yt0,
         hit0,
-        jnp.zeros((n,), jnp.int32),
+        jnp.zeros((SUB, LANE), jnp.int32),
         zeros_k,
         zeros_k,
         zeros_k,
-        jnp.zeros((n,), jnp.int32),
+        jnp.zeros((SUB, LANE), jnp.int32),
     )
     _, yt, hit, steps, cr, cp, ct, nc = jax.lax.while_loop(cond, body, carry)
     hit = jnp.where(hit == I(HIT_NONE), I(HIT_HORIZON), hit)
 
-    yo_ref[:, :] = yt
-    hit_ref[0, :] = hit
-    steps_ref[0, :] = steps
-    cr_ref[:, :] = cr
-    cp_ref[:, :] = cp
-    ct_ref[:, :] = ct
-    nc_ref[0, :] = nc
+    yo_ref[0] = yt
+    hit_ref[0] = hit
+    steps_ref[0] = steps
+    cr_ref[0] = cr
+    cp_ref[0] = cp
+    ct_ref[0] = ct
+    nc_ref[0] = nc
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
@@ -180,6 +238,10 @@ def pallas_march_u(yt0: jnp.ndarray, m, a, r_h, r_ph, cfg, interpret: bool = Fal
     if n_pad != n:
         # Padded rays are born at r = 0: inside the horizon, dead at step 0.
         yt0 = jnp.pad(yt0, ((0, 0), (0, n_pad - n)))
+    nb = n_pad // TILE
+    # (8, N) -> (nb, 8, SUB, LANE): ray j = i*TILE + s*LANE + l, so each grid
+    # program owns one contiguous TILE with every state row a (8, 128) vreg.
+    yt0 = yt0.reshape(8, nb, SUB, LANE).transpose(1, 0, 2, 3)
 
     params = jnp.stack(
         [m, a, r_h, r_ph, jnp.zeros_like(m), jnp.zeros_like(m), jnp.zeros_like(m),
@@ -187,20 +249,23 @@ def pallas_march_u(yt0: jnp.ndarray, m, a, r_h, r_ph, cfg, interpret: bool = Fal
     ).reshape(1, 8).astype(yt0.dtype)
 
     k_slots = cfg.max_crossings
-    grid = (n_pad // TILE,)
+    grid = (nb,)
     kernel = functools.partial(_march_kernel, cfg=cfg)
 
     out_shapes = (
-        jax.ShapeDtypeStruct((8, n_pad), yt0.dtype),       # y out
-        jax.ShapeDtypeStruct((1, n_pad), jnp.int32),       # hit
-        jax.ShapeDtypeStruct((1, n_pad), jnp.int32),       # steps
-        jax.ShapeDtypeStruct((k_slots, n_pad), yt0.dtype), # cross_r
-        jax.ShapeDtypeStruct((k_slots, n_pad), yt0.dtype), # cross_phi
-        jax.ShapeDtypeStruct((k_slots, n_pad), yt0.dtype), # cross_t
-        jax.ShapeDtypeStruct((1, n_pad), jnp.int32),       # ncross
+        jax.ShapeDtypeStruct((nb, 8, SUB, LANE), yt0.dtype),       # y out
+        jax.ShapeDtypeStruct((nb, SUB, LANE), jnp.int32),          # hit
+        jax.ShapeDtypeStruct((nb, SUB, LANE), jnp.int32),          # steps
+        jax.ShapeDtypeStruct((nb, k_slots, SUB, LANE), yt0.dtype), # cross_r
+        jax.ShapeDtypeStruct((nb, k_slots, SUB, LANE), yt0.dtype), # cross_phi
+        jax.ShapeDtypeStruct((nb, k_slots, SUB, LANE), yt0.dtype), # cross_t
+        jax.ShapeDtypeStruct((nb, SUB, LANE), jnp.int32),          # ncross
     )
-    row_spec = lambda rows: pl.BlockSpec(
-        (rows, TILE), lambda i: (0, i), memory_space=pltpu.VMEM
+    spec4 = lambda rows: pl.BlockSpec(
+        (1, rows, SUB, LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    spec3 = pl.BlockSpec(
+        (1, SUB, LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
     # Trace the kernel with x64 OFF: the package enables x64 globally for the
     # f64 oracle layer, but inside a Pallas TPU kernel any stray 64-bit
@@ -213,16 +278,16 @@ def pallas_march_u(yt0: jnp.ndarray, m, a, r_h, r_ph, cfg, interpret: bool = Fal
             grid=grid,
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),  # params (1, 8)
-                row_spec(8),
+                spec4(8),
             ],
             out_specs=(
-                row_spec(8),
-                row_spec(1),
-                row_spec(1),
-                row_spec(k_slots),
-                row_spec(k_slots),
-                row_spec(k_slots),
-                row_spec(1),
+                spec4(8),
+                spec3,
+                spec3,
+                spec4(k_slots),
+                spec4(k_slots),
+                spec4(k_slots),
+                spec3,
             ),
             out_shape=out_shapes,
             interpret=interpret,
@@ -230,12 +295,14 @@ def pallas_march_u(yt0: jnp.ndarray, m, a, r_h, r_ph, cfg, interpret: bool = Fal
 
     yt, hit, steps, cr, cp, ct, nc = outs
     sl = slice(0, n)
+    flat3 = lambda x: x.reshape(n_pad)[sl]
+    flat4 = lambda x, rows: x.transpose(1, 0, 2, 3).reshape(rows, n_pad)[:, sl]
     return (
-        yt[:, sl],
-        hit[0, sl],
-        steps[0, sl],
-        cr[:, sl],
-        cp[:, sl],
-        ct[:, sl],
-        nc[0, sl],
+        flat4(yt, 8),
+        flat3(hit),
+        flat3(steps),
+        flat4(cr, k_slots),
+        flat4(cp, k_slots),
+        flat4(ct, k_slots),
+        flat3(nc),
     )

@@ -155,9 +155,17 @@ def march(
             jet_radiance=jnp.zeros((n, 3), dtype=dtype),
         )
 
+    # Benign far-field state substituted into the step for terminated rays
+    # (the "double-where" rule): a frozen ray's discarded y_next can still
+    # overflow in f32 (it keeps re-stepping its frozen state), and reverse-
+    # mode turns 0-cotangent x Inf-primal into NaN — d(pixel)/d(spin) was
+    # NaN at a=0.7 f32 until dead lanes stepped this safe state instead.
+    safe_yt = jnp.array([0.0, 10.0, 0.0, 0.0, -1.0, 0.0, 0.0, 0.0], dtype)[:, None]
+
     def body(i, carry):
         yt, hit, steps, cr, cp, ct, ncross, jet_rgb = carry
         active = hit == HIT_NONE
+        yt_in = jnp.where(active[None, :], yt, safe_yt)
 
         r = yt[1]
         u = yt[2]
@@ -165,13 +173,15 @@ def march(
 
         # Pole throttle: cap the step so u cannot overshoot past +-1 (where
         # w = 1 - u^2 hits its guard and dphi/dlam spikes). du/dlam = w pu/S.
-        w = jnp.maximum(1.0 - u * u, 1e-12)
+        from blackhole_simulation_tpu.ops.ks_kernel import w_floor
+
+        w = jnp.maximum(1.0 - u * u, w_floor(dtype))
         sig = r * r + a_bh * a_bh * u * u
         du_rate = jnp.abs(w * yt[6] / sig) + 1e-12
         margin = 1.0 - jnp.abs(u) + 1e-6
         dlam = jnp.minimum(dlam, jnp.maximum(0.5 * margin / du_rate, cfg.min_step))
 
-        yt_next = ks_symplectic_step_u(m_bh, a_bh, yt, dlam, cfg.midpoint_iters)
+        yt_next = ks_symplectic_step_u(m_bh, a_bh, yt_in, dlam, cfg.midpoint_iters)
         # Keep u inside the chart after any residual overshoot.
         yt_next = yt_next.at[2].set(jnp.clip(yt_next[2], -1.0 + 1e-7, 1.0 - 1e-7))
 

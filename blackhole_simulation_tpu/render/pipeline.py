@@ -156,7 +156,20 @@ def render_sample(scene: Scene, jitter, dtype=jnp.float32) -> jnp.ndarray:
     )
     rays = camera_rays(scene.camera, bh, jitter=jitter, dtype=dtype)
     jets = scene.jet_params if scene.features.jets else None
-    result = march(rays, bh, scene.march_cfg, jets=jets)
+    if scene.march_cfg.use_pallas:
+        # March in pixel-block order so the kernel's per-tile early exit
+        # fires on spatially coherent sky/shadow tiles, then restore
+        # row-major order for shading (reshape/transpose copies, no gathers).
+        from blackhole_simulation_tpu.ops.pallas_march import (
+            from_block_order,
+            to_block_order,
+        )
+
+        h, w = scene.camera.height, scene.camera.width
+        result = march(to_block_order(rays, h, w), bh, scene.march_cfg, jets=jets)
+        result = jax.tree.map(lambda x: from_block_order(x, h, w), result)
+    else:
+        result = march(rays, bh, scene.march_cfg, jets=jets)
     return shade_sample(result, bh, scene, dtype, rays)
 
 
