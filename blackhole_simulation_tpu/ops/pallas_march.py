@@ -37,15 +37,19 @@ HIT_NONE = 0
 HIT_HORIZON = 1
 HIT_ESCAPE = 2
 
-# Rays per grid program, arranged as a full (sublane, lane) = (8, 128) VPU
-# tile: every per-ray quantity in the kernel is a (8, 128) 2-D array = exactly
-# one vector register. (A flat (TILE,) 1-D layout puts rays on lanes only —
-# 1 of 8 sublanes active — wasting 7/8 of the VPU.)
-SUB, LANE = 8, 128
-TILE = SUB * LANE  # 1024
+# Rays per grid program, arranged as full (sublane, lane) VPU tiles: every
+# per-ray quantity in the kernel is a (SUB, 128) 2-D array = SUB/8 vector
+# registers. (A flat (TILE,) 1-D layout puts rays on lanes only — 1 of 8
+# sublanes active — wasting 7/8 of the VPU.) SUB > 8 issues several
+# independent vregs through each op, pipelining the step's dependency chain
+# (the kernel is latency-bound, not throughput-bound); the cost is coarser
+# per-tile early exit.
+SUB, LANE = 32, 128
+TILE = SUB * LANE
 
-# Pixel-block shape for spatially coherent tiles: 32 x 32 = TILE rays.
-BLOCK_H, BLOCK_W = 32, 32
+# Pixel-block shape for spatially coherent tiles: BLOCK_H*BLOCK_W = TILE.
+_BLOCKS = {1024: (32, 32), 2048: (32, 64), 4096: (64, 64), 8192: (64, 128), 16384: (128, 128)}
+BLOCK_H, BLOCK_W = _BLOCKS[TILE]
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -109,6 +113,7 @@ def _march_kernel(params_ref, y_ref, yo_ref, hit_ref, steps_ref, cr_ref,
     r_h = params_ref[0, 2]
     r_ph = params_ref[0, 3]
     horizon_r = F(cfg.horizon_factor) * r_h
+    inv_rph = F(1.0) / jnp.maximum(r_ph, F(1e-3))  # scalar, hoisted
 
     k_slots = cfg.max_crossings
     slot_ids = jax.lax.broadcasted_iota(jnp.int32, (k_slots, SUB, LANE), 0)
@@ -132,9 +137,7 @@ def _march_kernel(params_ref, y_ref, yo_ref, hit_ref, steps_ref, cr_ref,
         u = yt[2]
         base = (r - r_h) * F(cfg.step_rate)
         far = jnp.maximum(r / F(cfg.far_boost_radius), F(1.0))
-        prox = jnp.clip(
-            jnp.abs(r - r_ph) / jnp.maximum(r_ph, F(1e-3)), F(0.25), F(1.0)
-        )
+        prox = jnp.clip(jnp.abs(r - r_ph) * inv_rph, F(0.25), F(1.0))
         dlam = jnp.clip(base * far * prox, F(cfg.min_step), F(cfg.max_step))
 
         w = jnp.maximum(F(1.0) - u * u, F(1e-12))
@@ -150,8 +153,13 @@ def _march_kernel(params_ref, y_ref, yo_ref, hit_ref, steps_ref, cr_ref,
             yt_next, 2, jnp.clip(yt_next[2], F(-1.0 + 1e-7), F(1.0 - 1e-7))
         )
 
+        # Renormalization runs 1 step in `renormalize_every`: branch on the
+        # scalar so the other steps skip its ~25 vector ops entirely
+        # (jnp.where would evaluate it every step and discard).
         renorm = (i % I(cfg.renormalize_every)) == I(cfg.renormalize_every - 1)
-        yt_next = jnp.where(renorm, ks_renormalize_u(m, a, yt_next), yt_next)
+        yt_next = jax.lax.cond(
+            renorm, lambda y: ks_renormalize_u(m, a, y), lambda y: y, yt_next
+        )
 
         u0 = yt[2]
         u1 = yt_next[2]

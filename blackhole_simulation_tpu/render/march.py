@@ -109,7 +109,8 @@ def adaptive_dlam(r, r_h, r_ph, cfg: MarchConfig, dtype):
     photon-sphere proximity clamp)."""
     base = (r - r_h) * cfg.step_rate
     far = jnp.maximum(r / cfg.far_boost_radius, 1.0)  # far-field boost
-    prox = jnp.clip(jnp.abs(r - r_ph) / jnp.maximum(r_ph, 1e-3), 0.25, 1.0)
+    # reciprocal-then-multiply, matching the Pallas kernel bit-for-bit
+    prox = jnp.clip(jnp.abs(r - r_ph) * (1.0 / jnp.maximum(r_ph, 1e-3)), 0.25, 1.0)
     return jnp.clip(base * far * prox, cfg.min_step, cfg.max_step).astype(dtype)
 
 
