@@ -74,7 +74,7 @@ def init_opt_state(params: InverseParams):
 
 
 def make_inverse_step(scene: Scene, mesh: Mesh | None = None, lr=2e-2, dtype=jnp.float32,
-                      b1=0.9, b2=0.999, eps=1e-8):
+                      b1=0.9, b2=0.999, eps=1e-8, total_steps: int | None = None):
     """Build a jitted SPMD Adam step:
     ((params, opt_state), target) -> ((params', opt_state'), loss).
 
@@ -108,13 +108,21 @@ def make_inverse_step(scene: Scene, mesh: Mesh | None = None, lr=2e-2, dtype=jnp
         g = jax.tree.map(lambda v: v * scale, g)
         m, v, t = opt_state
         t = t + 1
+        # Cosine lr decay to a 10% floor when the caller declares a horizon:
+        # fixed-lr Adam keeps oscillating on the chaotic photon-ring pixels
+        # instead of settling into the basin.
+        if total_steps is not None:
+            frac = jnp.minimum(t.astype(jnp.float32) / total_steps, 1.0)
+            lr_t = lr * (0.1 + 0.45 * (1.0 + jnp.cos(jnp.pi * frac)))
+        else:
+            lr_t = lr
         m = jax.tree.map(lambda mm, gg: b1 * mm + (1 - b1) * gg, m, g)
         v = jax.tree.map(lambda vv, gg: b2 * vv + (1 - b2) * gg * gg, v, g)
         tf = t.astype(jnp.float32)
         mhat = jax.tree.map(lambda mm: mm / (1 - b1**tf), m)
         vhat = jax.tree.map(lambda vv: vv / (1 - b2**tf), v)
         upd = jax.tree.map(
-            lambda p, mm, vv: p - lr * mm / (jnp.sqrt(vv) + eps), params, mhat, vhat
+            lambda p, mm, vv: p - lr_t * mm / (jnp.sqrt(vv) + eps), params, mhat, vhat
         )
         # Keep spin strictly sub-extremal (fp32 headroom at a ~ 1).
         upd = dataclasses.replace(upd, spin=jnp.clip(upd.spin, -0.998, 0.998))
@@ -176,7 +184,7 @@ def make_inverse_step(scene: Scene, mesh: Mesh | None = None, lr=2e-2, dtype=jnp
 def inverse_render(scene: Scene, target, n_steps=100, mesh: Mesh | None = None,
                    lr=2e-2, init: InverseParams | None = None, dtype=jnp.float32):
     """Run the inverse-rendering optimization; returns (params, loss_history)."""
-    step = make_inverse_step(scene, mesh, lr, dtype)
+    step = make_inverse_step(scene, mesh, lr, dtype, total_steps=n_steps)
     params = init or InverseParams.init(dtype=dtype)
     state = (params, init_opt_state(params))
     losses = []
