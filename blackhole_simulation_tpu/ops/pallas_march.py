@@ -121,6 +121,11 @@ def _march_kernel(params_ref, y_ref, yo_ref, hit_ref, steps_ref, cr_ref,
     hit0 = jnp.where(yt0[1] < horizon_r, I(HIT_HORIZON), I(HIT_NONE))
     zeros_k = jnp.zeros((k_slots, SUB, LANE), dtype=dt)
 
+    # The tile-exit test is a vector->scalar reduce + scalar branch — a
+    # pipeline stall. Amortize it over EXIT_CHECK_EVERY marching steps
+    # (worst case that many masked no-op steps per tile before exiting).
+    exit_every = min(8, cfg.max_steps)
+
     def cond(carry):
         i, yt, hit, steps, cr, cp, ct, nc = carry
         # Per-tile early exit: stop when every ray in the tile is done.
@@ -131,7 +136,9 @@ def _march_kernel(params_ref, y_ref, yo_ref, hit_ref, steps_ref, cr_ref,
 
     def body(carry):
         i, yt, hit, steps, cr, cp, ct, nc = carry
-        active = hit == I(HIT_NONE)
+        # i < max_steps guard: the batched exit check can run past the step
+        # budget; those overshoot steps must be no-ops for jnp-path parity.
+        active = (hit == I(HIT_NONE)) & (i < I(cfg.max_steps))
 
         r = yt[1]
         u = yt[2]
@@ -212,6 +219,9 @@ def _march_kernel(params_ref, y_ref, yo_ref, hit_ref, steps_ref, cr_ref,
         hit = jnp.where(active & (r_new > F(cfg.escape_radius)), I(HIT_ESCAPE), hit)
         return i + I(1), yt, hit, steps, cr, cp, ct, nc
 
+    def body_block(carry):
+        return jax.lax.fori_loop(0, exit_every, lambda _, c: body(c), carry)
+
     carry = (
         jnp.int32(0),
         yt0,
@@ -222,7 +232,7 @@ def _march_kernel(params_ref, y_ref, yo_ref, hit_ref, steps_ref, cr_ref,
         zeros_k,
         jnp.zeros((SUB, LANE), jnp.int32),
     )
-    _, yt, hit, steps, cr, cp, ct, nc = jax.lax.while_loop(cond, body, carry)
+    _, yt, hit, steps, cr, cp, ct, nc = jax.lax.while_loop(cond, body_block, carry)
     hit = jnp.where(hit == I(HIT_NONE), I(HIT_HORIZON), hit)
 
     yo_ref[0] = yt
