@@ -31,6 +31,7 @@ from blackhole_simulation_tpu.ops.ks_kernel import (
     ks_rhs_u,
     ks_symplectic_step_u,
     set_row,
+    w_floor,
 )
 
 HIT_NONE = 0
@@ -47,18 +48,31 @@ HIT_ESCAPE = 2
 SUB, LANE = 32, 128
 TILE = SUB * LANE
 
-# Pixel-block shape for spatially coherent tiles: BLOCK_H*BLOCK_W = TILE.
-_BLOCKS = {1024: (32, 32), 2048: (32, 64), 4096: (64, 64), 8192: (64, 128), 16384: (128, 128)}
-BLOCK_H, BLOCK_W = _BLOCKS[TILE]
-
-
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def _block_dims(height: int, width: int):
+    """Pick the BLOCK_H x BLOCK_W = TILE pixel-block shape that minimizes
+    padding for this frame (fixed 64x64 padded a 96x96 render to 128x128,
+    +78% marched rays). Ties prefer the squarest block — spatial coherence
+    is what makes the per-tile early exit fire."""
+    best = None
+    bh = 8
+    while bh * 8 <= TILE:
+        bw = TILE // bh
+        area = _cdiv(height, bh) * bh * _cdiv(width, bw) * bw
+        squareness = abs(bh - bw)
+        if best is None or (area, squareness) < best[:2]:
+            best = (area, squareness, bh, bw)
+        bh *= 2
+    return best[2], best[3]
+
+
 def _padded_dims(height: int, width: int):
-    hp = _cdiv(height, BLOCK_H) * BLOCK_H
-    wp = _cdiv(width, BLOCK_W) * BLOCK_W
+    bh, bw = _block_dims(height, width)
+    hp = _cdiv(height, bh) * bh
+    wp = _cdiv(width, bw) * bw
     return hp, wp
 
 
@@ -79,21 +93,23 @@ def to_block_order(x: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
     padded to block multiples with edge-replicated rays (marched normally,
     ~0.7 % overhead at 1080p, dropped by from_block_order).
     """
+    bh, bw = _block_dims(height, width)
     hp, wp = _padded_dims(height, width)
     tail = x.shape[1:]
     x = x.reshape(height, width, *tail)
     x = jnp.pad(x, ((0, hp - height), (0, wp - width)) + ((0, 0),) * len(tail),
                 mode="edge")
-    x = x.reshape(hp // BLOCK_H, BLOCK_H, wp // BLOCK_W, BLOCK_W, *tail)
+    x = x.reshape(hp // bh, bh, wp // bw, bw, *tail)
     x = jnp.moveaxis(x, 1, 2)
     return x.reshape(hp * wp, *tail)
 
 
 def from_block_order(x: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
     """Inverse of to_block_order: (Hp*Wp, ...) -> row-major (H*W, ...)."""
+    bh, bw = _block_dims(height, width)
     hp, wp = _padded_dims(height, width)
     tail = x.shape[1:]
-    x = x.reshape(hp // BLOCK_H, wp // BLOCK_W, BLOCK_H, BLOCK_W, *tail)
+    x = x.reshape(hp // bh, wp // bw, bh, bw, *tail)
     x = jnp.moveaxis(x, 2, 1).reshape(hp, wp, *tail)
     return x[:height, :width].reshape(height * width, *tail)
 
@@ -147,7 +163,10 @@ def _march_kernel(params_ref, y_ref, yo_ref, hit_ref, steps_ref, cr_ref,
         prox = jnp.clip(jnp.abs(r - r_ph) * inv_rph, F(0.25), F(1.0))
         dlam = jnp.clip(base * far * prox, F(cfg.min_step), F(cfg.max_step))
 
-        w = jnp.maximum(F(1.0) - u * u, F(1e-12))
+        # Same pole floor as the jnp path (render/march.py) — the two paths
+        # must compute identical dlam for near-axis rays or trajectories
+        # silently diverge (w_floor is 1e-6 in f32, 1e-12 in f64).
+        w = jnp.maximum(F(1.0) - u * u, F(w_floor(dt)))
         sig = r * r + a * a * u * u
         du_rate = jnp.abs(w * yt[6] / sig) + F(1e-12)
         margin = F(1.0) - jnp.abs(u) + F(1e-6)

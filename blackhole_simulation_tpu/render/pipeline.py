@@ -156,7 +156,9 @@ def render_sample(scene: Scene, jitter, dtype=jnp.float32) -> jnp.ndarray:
     )
     rays = camera_rays(scene.camera, bh, jitter=jitter, dtype=dtype)
     jets = scene.jet_params if scene.features.jets else None
-    if scene.march_cfg.use_pallas:
+    # Mirror march()'s own dispatch: it falls back to the jnp path when jets
+    # are enabled, so only reorder when the Pallas kernel actually runs.
+    if scene.march_cfg.use_pallas and jets is None:
         # March in pixel-block order so the kernel's per-tile early exit
         # fires on spatially coherent sky/shadow tiles, then restore
         # row-major order for shading (reshape/transpose copies, no gathers).
