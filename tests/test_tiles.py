@@ -1,0 +1,76 @@
+"""Tile scheduler + progressive renderer (tiling.rs / TiledRayBatch twins)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from blackhole_simulation_tpu.render import Camera, MarchConfig, Scene
+from blackhole_simulation_tpu.render.pipeline import render_radiance
+from blackhole_simulation_tpu.render.tiles import (
+    ProgressiveRenderer,
+    TileGrid,
+    TileManager,
+)
+
+
+class TestTileGrid:
+    def test_counts(self):
+        g = TileGrid(100, 50, tile=32)
+        assert (g.nx, g.ny, g.n_tiles) == (4, 2, 8)
+
+    def test_pixel_ids_interior(self):
+        g = TileGrid(64, 64, tile=32)
+        pix = g.pixel_ids(np.array([0]))
+        assert pix.shape == (1, 32 * 32)
+        assert pix[0, 0] == 0
+        assert pix[0, -1] == 31 * 64 + 31
+
+    def test_pixel_ids_edge_clamped(self):
+        g = TileGrid(40, 40, tile=32)  # 2x2 grid, edge tiles overhang
+        pix = g.pixel_ids(np.array([3]))  # bottom-right tile
+        assert pix.max() == 40 * 40 - 1
+        assert (pix < 40 * 40).all()
+
+
+class TestTileManager:
+    def test_center_first(self):
+        g = TileGrid(128, 128, tile=32)  # 4x4
+        mgr = TileManager(g)
+        first = mgr.next_batch(4)
+        # the four center tiles of a 4x4 grid are ids 5, 6, 9, 10
+        assert set(first) <= {5, 6, 9, 10}
+
+    def test_batch_padding_and_exhaustion(self):
+        g = TileGrid(64, 64, tile=32)  # 4 tiles
+        mgr = TileManager(g)
+        b1 = mgr.next_batch(3)
+        assert len(b1) == 3
+        b2 = mgr.next_batch(3)  # only 1 left -> padded by repetition
+        assert len(b2) == 3
+        assert len(set(b2)) == 1
+        assert mgr.next_batch(3).size == 0
+
+    def test_variance_refinement(self):
+        g = TileGrid(64, 64, tile=32)
+        mgr = TileManager(g)
+        while mgr.next_batch(4).size:
+            pass
+        mgr.report(np.array([2]), np.array([9.9]))
+        mgr.refine_queue(frac=0.25)
+        assert mgr.next_batch(1)[0] == 2
+
+
+class TestProgressiveRenderer:
+    def test_matches_full_render(self):
+        cam = Camera.create(r=25.0, theta=jnp.pi / 2 - 0.3, fov=0.6,
+                            width=64, height=64)
+        scene = Scene.create(
+            mass=1.0, spin=0.9, camera=cam,
+            march_cfg=MarchConfig(max_steps=48),
+        )
+        prog = ProgressiveRenderer(scene, tile=32, batch_tiles=2)
+        img = prog.render_all()
+        assert prog.covered.all()
+        ref = np.asarray(render_radiance(scene))
+        # f32 march compiled at a different batch shape: bitwise parity is
+        # not expected, only tight numeric agreement.
+        np.testing.assert_allclose(img, ref, atol=1e-3, rtol=5e-3)
