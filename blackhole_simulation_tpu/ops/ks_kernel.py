@@ -284,11 +284,14 @@ def u_state_to_theta(yt):
     return yt.at[6].set(-pu * s)
 
 
-def _geom_u(m, a, r, u):
+def _geom_u(m, a, r, u, recip=None):
+    """``recip``: optional reciprocal op — the Pallas kernel passes the
+    hardware approximate reciprocal (pl.reciprocal(approx=True)) here; the
+    default is the exact divide."""
     w = jnp.maximum(1.0 - u * u, w_floor(jnp.result_type(u)))
     S = r * r + a * a * u * u
     D = r * r - 2.0 * m * r + a * a
-    inv_S = 1.0 / S
+    inv_S = recip(S) if recip is not None else 1.0 / S
     h = 2.0 * m * r * inv_S
     return w, S, D, inv_S, h
 
@@ -308,16 +311,17 @@ def ks_hamiltonian_u(m, a, yt):
     )
 
 
-def ks_rhs_u(m, a, yt):
+def ks_rhs_u(m, a, yt, recip=None):
     """dy/dlambda in (t, r, u, phi) coordinates; yt (8, N) -> (8, N).
 
-    Rational in (r, u): zero transcendentals in the hot loop.
+    Rational in (r, u): zero transcendentals in the hot loop. ``recip``
+    selects the reciprocal op (see _geom_u) — the step's only two divides.
     """
     r, u = yt[1], yt[2]
     pt, pr, pu, pph = yt[4], yt[5], yt[6], yt[7]
-    w, S, D, inv_S, h = _geom_u(m, a, r, u)
+    w, S, D, inv_S, h = _geom_u(m, a, r, u, recip)
     inv_S2 = inv_S * inv_S
-    inv_w = 1.0 / w
+    inv_w = recip(w) if recip is not None else 1.0 / w
 
     dt = -(1.0 + h) * pt + h * pr
     dr = h * pt + D * inv_S * pr + a * inv_S * pph
@@ -388,10 +392,14 @@ def ks_renormalize_u(m, a, yt):
     return set_row(yt, 5, jnp.where(valid, nearest, pr))
 
 
-def ks_symplectic_step_u(m, a, yt, dlam, iterations: int = 2):
-    """Implicit midpoint on the u-coordinate RHS; yt (8, N), dlam (N,)."""
+def ks_symplectic_step_u(m, a, yt, dlam, iterations: int = 2, recip=None):
+    """Implicit midpoint on the u-coordinate RHS; yt (8, N), dlam (N,).
+
+    iterations=1 degenerates to the explicit RK2 midpoint step (the seed is
+    explicit Euler), trading one RHS evaluation for the symplectic property;
+    the periodic null renormalization holds H = 0 either way."""
     hh = dlam[None, :]
-    y_next = yt + hh * ks_rhs_u(m, a, yt)
+    y_next = yt + hh * ks_rhs_u(m, a, yt, recip)
     for _ in range(iterations):
-        y_next = yt + hh * ks_rhs_u(m, a, 0.5 * (yt + y_next))
+        y_next = yt + hh * ks_rhs_u(m, a, 0.5 * (yt + y_next), recip)
     return y_next

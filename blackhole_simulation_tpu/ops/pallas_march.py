@@ -44,8 +44,11 @@ HIT_ESCAPE = 2
 # sublanes active — wasting 7/8 of the VPU.) SUB > 8 issues several
 # independent vregs through each op, pipelining the step's dependency chain
 # (the kernel is latency-bound, not throughput-bound); the cost is coarser
-# per-tile early exit.
-SUB, LANE = 32, 128
+# per-tile early exit. BH_PALLAS_SUB is an experiment override.
+import os as _os
+
+SUB = int(_os.environ.get("BH_PALLAS_SUB", "32"))
+LANE = 128
 TILE = SUB * LANE
 
 def _cdiv(a: int, b: int) -> int:
@@ -115,7 +118,7 @@ def from_block_order(x: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
 
 
 def _march_kernel(params_ref, y_ref, yo_ref, hit_ref, steps_ref, cr_ref,
-                  cp_ref, ct_ref, nc_ref, *, cfg):
+                  cp_ref, ct_ref, nc_ref, *, cfg, approx_recip=False):
     yt0 = y_ref[0]  # (8, SUB, LANE): 8 state rows, each one full VPU vreg
     dt = yt0.dtype
     # Every numeric literal must be dtype-typed: with jax_enable_x64 on,
@@ -137,10 +140,12 @@ def _march_kernel(params_ref, y_ref, yo_ref, hit_ref, steps_ref, cr_ref,
     hit0 = jnp.where(yt0[1] < horizon_r, I(HIT_HORIZON), I(HIT_NONE))
     zeros_k = jnp.zeros((k_slots, SUB, LANE), dtype=dt)
 
-    # The tile-exit test is a vector->scalar reduce + scalar branch — a
-    # pipeline stall. Amortize it over EXIT_CHECK_EVERY marching steps
-    # (worst case that many masked no-op steps per tile before exiting).
-    exit_every = min(8, cfg.max_steps)
+    # Renormalization runs on the LAST step of each `renormalize_every`
+    # block — statically, not behind a per-step lax.cond: a traced scalar
+    # branch every step serializes the vector pipeline (measured ~10 % of
+    # kernel time). The tile-exit reduce+branch amortizes over the same
+    # block (worst case that many masked no-op steps before exiting).
+    exit_every = min(cfg.renormalize_every, cfg.max_steps)
 
     def cond(carry):
         i, yt, hit, steps, cr, cp, ct, nc = carry
@@ -150,7 +155,7 @@ def _march_kernel(params_ref, y_ref, yo_ref, hit_ref, steps_ref, cr_ref,
         n_live = jnp.max(jnp.where(hit == I(HIT_NONE), I(1), I(0)))
         return (i < I(cfg.max_steps)) & (n_live > I(0))
 
-    def body(carry):
+    def body(carry, do_renorm: bool):
         i, yt, hit, steps, cr, cp, ct, nc = carry
         # i < max_steps guard: the batched exit check can run past the step
         # budget; those overshoot steps must be no-ops for jnp-path parity.
@@ -161,7 +166,11 @@ def _march_kernel(params_ref, y_ref, yo_ref, hit_ref, steps_ref, cr_ref,
         base = (r - r_h) * F(cfg.step_rate)
         far = jnp.maximum(r / F(cfg.far_boost_radius), F(1.0))
         prox = jnp.clip(jnp.abs(r - r_ph) * inv_rph, F(0.25), F(1.0))
-        dlam = jnp.clip(base * far * prox, F(cfg.min_step), F(cfg.max_step))
+        if cfg.far_step_cap_rate > 0.0:
+            cap = jnp.maximum(F(cfg.max_step), F(cfg.far_step_cap_rate) * r)
+        else:
+            cap = F(cfg.max_step)
+        dlam = jnp.clip(base * far * prox, F(cfg.min_step), cap)
 
         # Same pole floor as the jnp path (render/march.py) — the two paths
         # must compute identical dlam for near-axis rays or trajectories
@@ -174,50 +183,40 @@ def _march_kernel(params_ref, y_ref, yo_ref, hit_ref, steps_ref, cr_ref,
             dlam, jnp.maximum(F(0.5) * margin / du_rate, F(cfg.min_step))
         )
 
-        yt_next = ks_symplectic_step_u(m, a, yt, dlam, cfg.midpoint_iters)
+        recip = (
+            (lambda x: pl.reciprocal(x, approx=True)) if approx_recip else None
+        )
+        yt_next = ks_symplectic_step_u(m, a, yt, dlam, cfg.midpoint_iters, recip)
         yt_next = set_row(
             yt_next, 2, jnp.clip(yt_next[2], F(-1.0 + 1e-7), F(1.0 - 1e-7))
         )
 
-        # Renormalization runs 1 step in `renormalize_every`: branch on the
-        # scalar so the other steps skip its ~25 vector ops entirely
-        # (jnp.where would evaluate it every step and discard).
-        renorm = (i % I(cfg.renormalize_every)) == I(cfg.renormalize_every - 1)
-        yt_next = jax.lax.cond(
-            renorm, lambda y: ks_renormalize_u(m, a, y), lambda y: y, yt_next
-        )
+        if do_renorm:  # static: the block's last step renormalizes
+            yt_next = ks_renormalize_u(m, a, yt_next)
 
         u0 = yt[2]
         u1 = yt_next[2]
-        # Equator crossings are rare (a handful per ray over the whole
-        # march): hoist the interpolation + K-slot scatter behind a
-        # tile-level conditional so the common no-crossing step skips the
-        # ~4K-lane bookkeeping entirely.
+        # Equator-crossing record, unconditionally masked: the earlier
+        # tile-level lax.cond needed a cross-lane any() reduce + scalar
+        # branch EVERY step, which stalls the pipeline for longer than the
+        # ~K masked selects it saved.
         maybe = active & ((u0 * u1) < F(0.0)) & (nc < I(k_slots))
-        any_maybe = jnp.max(jnp.where(maybe, I(1), I(0))) > I(0)
-
-        def record(args):
-            cr, cp, ct, nc = args
-            frac = jnp.clip(
-                u0 / jnp.where(jnp.abs(u0 - u1) < F(1e-12), F(1e-12), u0 - u1),
-                F(0.0),
-                F(1.0),
-            )
-            r_c = yt[1] + frac * (yt_next[1] - yt[1])
-            phi_c = yt[3] + frac * (yt_next[3] - yt[3])
-            t_c = yt[0] + frac * (yt_next[0] - yt[0])
-            crossed = (
-                maybe & (r_c > F(cfg.record_r_min)) & (r_c < F(cfg.record_r_max))
-            )
-            mask_k = crossed[None, :] & (nc[None, :] == slot_ids)
-            cr = jnp.where(mask_k, jnp.where(crossed, r_c, F(0.0))[None, :], cr)
-            cp = jnp.where(mask_k, jnp.where(crossed, phi_c, F(0.0))[None, :], cp)
-            ct = jnp.where(mask_k, jnp.where(crossed, t_c, F(0.0))[None, :], ct)
-            return cr, cp, ct, nc + jnp.where(crossed, I(1), I(0))
-
-        cr, cp, ct, nc = jax.lax.cond(
-            any_maybe, record, lambda args: args, (cr, cp, ct, nc)
+        frac = jnp.clip(
+            u0 / jnp.where(jnp.abs(u0 - u1) < F(1e-12), F(1e-12), u0 - u1),
+            F(0.0),
+            F(1.0),
         )
+        r_c = yt[1] + frac * (yt_next[1] - yt[1])
+        phi_c = yt[3] + frac * (yt_next[3] - yt[3])
+        t_c = yt[0] + frac * (yt_next[0] - yt[0])
+        crossed = (
+            maybe & (r_c > F(cfg.record_r_min)) & (r_c < F(cfg.record_r_max))
+        )
+        mask_k = crossed[None, :] & (nc[None, :] == slot_ids)
+        cr = jnp.where(mask_k, r_c[None, :], cr)
+        cp = jnp.where(mask_k, phi_c[None, :], cp)
+        ct = jnp.where(mask_k, t_c[None, :], ct)
+        nc = nc + jnp.where(crossed, I(1), I(0))
 
         sane = (
             jnp.isfinite(yt_next[1])
@@ -239,7 +238,11 @@ def _march_kernel(params_ref, y_ref, yo_ref, hit_ref, steps_ref, cr_ref,
         return i + I(1), yt, hit, steps, cr, cp, ct, nc
 
     def body_block(carry):
-        return jax.lax.fori_loop(0, exit_every, lambda _, c: body(c), carry)
+        carry = jax.lax.fori_loop(
+            0, exit_every - 1, lambda _, c: body(c, False), carry
+        )
+        renorm_last = cfg.renormalize_every <= cfg.max_steps
+        return body(carry, renorm_last)
 
     carry = (
         jnp.int32(0),
@@ -287,7 +290,11 @@ def pallas_march_u(yt0: jnp.ndarray, m, a, r_h, r_ph, cfg, interpret: bool = Fal
 
     k_slots = cfg.max_crossings
     grid = (nb,)
-    kernel = functools.partial(_march_kernel, cfg=cfg)
+    # approx reciprocal is a TPU-hardware op; interpret mode keeps the exact
+    # divide so CPU tests exercise the same control flow.
+    kernel = functools.partial(
+        _march_kernel, cfg=cfg, approx_recip=cfg.approx_recip and not interpret
+    )
 
     out_shapes = (
         jax.ShapeDtypeStruct((nb, 8, SUB, LANE), yt0.dtype),       # y out

@@ -143,6 +143,15 @@ def camera_rays(camera: Camera, bh: Kerr, jitter=None, dtype=jnp.float32):
 
 
 def _rays_from_ndc(camera: Camera, bh: Kerr, nx, ny, dtype):
+    """Per-ray work is 3 scalar-coefficient FMAs per momentum component.
+
+    The ZAMO tetrad, BL metric, and BL->KS covector transform all live at the
+    (scalar) camera position, and the photon momentum is LINEAR in the pixel
+    direction (n_r, n_th, n_ph): p_cov = c0 + n_r c_r + n_th c_th + n_ph c_ph
+    with 4-vectors of scalar coefficients. The earlier form materialized
+    (N, 4) tensors through an einsum — minor-dim 4 means 4/128 lane occupancy
+    on every op, and ray gen cost ~2/3 of the march itself (measured 38 ms
+    at 1080p; this form ~1 ms)."""
     m, a = bh.mass, bh.spin
     r0, th0, ph0 = camera.r, camera.theta, camera.phi
     aspect = camera.width / camera.height
@@ -150,8 +159,8 @@ def _rays_from_ndc(camera: Camera, bh: Kerr, nx, ny, dtype):
     cx = nx * half * aspect
     cy = ny * half
 
-    cr, sr = jnp.cos(camera.roll), jnp.sin(camera.roll)
-    cx, cy = cx * cr - cy * sr, cx * sr + cy * cr
+    cr_, sr_ = jnp.cos(camera.roll), jnp.sin(camera.roll)
+    cx, cy = cx * cr_ - cy * sr_, cx * sr_ + cy * cr_
 
     # Local unit direction: forward = -e_r (inward), right = -e_phi, up = -e_theta
     # (theta increases downward from the pole, so screen-up is -e_theta).
@@ -160,27 +169,28 @@ def _rays_from_ndc(camera: Camera, bh: Kerr, nx, ny, dtype):
     n_th = -cy * inv_norm           # screen up
     n_ph = -cx * inv_norm           # screen right
 
+    # Scalar coefficient 4-vectors: lower the tetrad with the BL metric and
+    # shift to the KS chart once, at the camera point.
     u, e_r, e_th, e_ph = zamo_tetrad(m, a, r0, th0)
-    # Photon 4-momentum (contravariant, affine-normalized to local energy 1):
-    # p^mu = u^mu + n^i e_(i)^mu.
-    p_con = (
-        u
-        + n_r[..., None] * e_r
-        + n_th[..., None] * e_th
-        + n_ph[..., None] * e_ph
-    )
     g_bl = kerr_cov_bl(m, a, r0, th0)
-    p_cov = jnp.einsum("ij,...j->...i", g_bl, p_con)
-    p_cov = bl_to_ks_momentum(m, a, r0, p_cov)
+    coeffs = [g_bl @ v for v in (u, e_r, e_th, e_ph)]
+    coeffs = [bl_to_ks_momentum(m, a, r0, c).astype(dtype) for c in coeffs]
+    c0, c_r, c_th, c_ph = coeffs
 
-    x0 = jnp.stack(
+    nx_ = n_r.astype(dtype)
+    ny_ = n_th.astype(dtype)
+    nz_ = n_ph.astype(dtype)
+    p = [c0[j] + nx_ * c_r[j] + ny_ * c_th[j] + nz_ * c_ph[j] for j in range(4)]
+
+    zero = jnp.zeros_like(nx_)
+    y0 = jnp.stack(
         [
-            jnp.zeros_like(cx),
-            jnp.full_like(cx, r0),
-            jnp.full_like(cx, th0),
-            jnp.full_like(cx, ph0),
+            zero,
+            jnp.full_like(nx_, r0.astype(dtype)),
+            jnp.full_like(nx_, th0.astype(dtype)),
+            jnp.full_like(nx_, ph0.astype(dtype)),
+            p[0], p[1], p[2], p[3],
         ],
         axis=-1,
     )
-    y0 = pack_state(x0, p_cov.astype(dtype))
-    return y0.reshape(-1, 8).astype(dtype)
+    return y0.reshape(-1, 8)

@@ -62,6 +62,12 @@ class MarchConfig:
     step_rate: float = 0.12
     min_step: float = 5e-3
     max_step: float = 4.0
+    # When > 0, the step cap grows with radius: cap = max(max_step,
+    # far_step_cap_rate * r). Far-field spacetime is nearly flat, so escape
+    # legs (turning point -> escape_radius) cost O(log r) steps instead of
+    # O(r) — the r-dependent form of the reference's far-field boost
+    # (fragment.glsl.ts:150-156).
+    far_step_cap_rate: float = 0.0
     far_boost_radius: float = 30.0   # beyond this, steps grow linearly
     escape_radius: float = 120.0
     horizon_factor: float = 1.01
@@ -70,6 +76,10 @@ class MarchConfig:
     record_r_min: float = 1.0        # crossing radial window (disk extent)
     record_r_max: float = 30.0
     midpoint_iters: int = 2
+    # Pallas kernel only: evaluate 1/S and 1/w with the TPU's approximate
+    # reciprocal (pl.reciprocal(approx=True)). The periodic null
+    # renormalization (exact math) absorbs the truncation.
+    approx_recip: bool = False
     # Tile-resident Pallas kernel (ops/pallas_march.py): ~VMEM-resident march
     # with per-tile early exit. Forward-only — the jnp path keeps the VJP —
     # and incompatible with in-loop jet accumulation.
@@ -111,7 +121,12 @@ def adaptive_dlam(r, r_h, r_ph, cfg: MarchConfig, dtype):
     far = jnp.maximum(r / cfg.far_boost_radius, 1.0)  # far-field boost
     # reciprocal-then-multiply, matching the Pallas kernel bit-for-bit
     prox = jnp.clip(jnp.abs(r - r_ph) * (1.0 / jnp.maximum(r_ph, 1e-3)), 0.25, 1.0)
-    return jnp.clip(base * far * prox, cfg.min_step, cfg.max_step).astype(dtype)
+    cap = (
+        jnp.maximum(cfg.max_step, cfg.far_step_cap_rate * r)
+        if cfg.far_step_cap_rate > 0.0
+        else cfg.max_step
+    )
+    return jnp.clip(base * far * prox, cfg.min_step, cap).astype(dtype)
 
 
 def march(

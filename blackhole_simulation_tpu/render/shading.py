@@ -58,6 +58,30 @@ def _smooth(t):
     return t * t * (3.0 - 2.0 * t)
 
 
+def _powi(x, p: float):
+    """x**p via sqrt/multiply chains when p is a multiple of 0.25 (pow lowers
+    to exp(log(x)*p) on the VPU — two transcendentals per lane; shading calls
+    this hundreds of millions of times per frame). Requires x >= 0 (true for
+    every shading quantity). Falls back to jnp pow otherwise."""
+    for k in range(3):  # p * 2^k integral for k sqrts of the base
+        pk = p * (1 << k)
+        if float(pk).is_integer() and abs(pk) <= 16:
+            n = int(abs(pk))
+            base = x
+            for _ in range(k):
+                base = jnp.sqrt(base)
+            acc, bit = None, base
+            while n:
+                if n & 1:
+                    acc = bit if acc is None else acc * bit
+                bit = bit * bit
+                n >>= 1
+            if acc is None:
+                acc = jnp.ones_like(x)
+            return 1.0 / acc if p < 0 else acc
+    return x**p
+
+
 def value_noise2(x, y):
     """Smoothed 2-D value noise in [0, 1)."""
     xf, yf = jnp.floor(x), jnp.floor(y)
@@ -132,10 +156,10 @@ def nt_temperature_profile(r, r_in, dtype=jnp.float32):
     T(r) ~ (1 - sqrt(r_in/r))^{1/4} (r_in/r)^{3/4} (chunks/disk.ts:99-106),
     normalized to peak 1."""
     x = jnp.maximum(r / r_in, 1.0 + 1e-6)
-    shape = (1.0 - jnp.sqrt(1.0 / x)) ** 0.25 * x ** -0.75
+    shape = _powi(1.0 - jnp.sqrt(1.0 / x), 0.25) * _powi(x, -0.75)
     # Analytic peak of the shape at x = 49/36.
     xp = 49.0 / 36.0
-    peak = (1.0 - jnp.sqrt(1.0 / xp)) ** 0.25 * xp ** -0.75
+    peak = (1.0 - (1.0 / xp) ** 0.5) ** 0.25 * xp ** -0.75
     return (shape / peak).astype(dtype)
 
 
@@ -149,7 +173,8 @@ def equatorial_g_factor(m, a, r, lam, dtype=jnp.float32):
     g_tt = -(1.0 - two_mr / sig)
     g_tph = -two_mr * a / sig
     g_phph = r * r + a * a + two_mr * a * a / sig
-    omega = jnp.sqrt(m) / (r ** 1.5 + a * jnp.sqrt(m))
+    sqrt_m = jnp.sqrt(m)
+    omega = sqrt_m / (r * jnp.sqrt(r) + a * sqrt_m)
     ut_inv_sq = -(g_tt + 2.0 * omega * g_tph + omega * omega * g_phph)
     u_t = 1.0 / jnp.sqrt(jnp.maximum(ut_inv_sq, 1e-6))
     doppler = 1.0 - lam * omega
@@ -196,7 +221,8 @@ def disk_emission(
 
     # Keplerian-phase-rotated turbulence (chunks/disk.ts:42-61): rotate the
     # noise field by the local orbital phase so structure shears.
-    omega_k = jnp.sqrt(m) / (jnp.maximum(r_c, r_in) ** 1.5 + a * jnp.sqrt(m))
+    rk = jnp.maximum(r_c, r_in)
+    omega_k = jnp.sqrt(m) / (rk * jnp.sqrt(rk) + a * jnp.sqrt(m))
     phase = phi_c - omega_k * t_c
     # Wrap the phase to a bounded interval before hashing: float->int casts
     # of huge f32 values are undefined (the 1080p NaN source).
@@ -206,14 +232,14 @@ def disk_emission(
 
     # Radial emissivity/opacity profile with soft edges.
     inner = jnp.clip((r_c - r_in) / (disk.inner_edge_softness * r_in + 1e-6), 0.0, 1.0)
-    outer = (jnp.maximum(r_in, r_c) / r_in) ** (-disk.outer_falloff * 0.5)
+    outer = _powi(jnp.maximum(r_in, r_c) / r_in, -disk.outer_falloff * 0.5)
     edge = _smooth(inner) * jnp.clip(
         (disk.outer_radius - r_c) / (0.15 * disk.outer_radius), 0.0, 1.0
     )
     alpha = jnp.clip(disk.density * density_scale * edge * turb, 0.0, 1.0)
     alpha = jnp.where(valid, alpha, 0.0).astype(dtype)
 
-    intensity = (g ** disk.beaming_exponent) * t_shape**4 * outer * intensity_scale
+    intensity = _powi(g, disk.beaming_exponent) * t_shape**4 * outer * intensity_scale
     rgb = jnp.where(valid[..., None], color * intensity[..., None], 0.0)
     return rgb, alpha, valid
 
@@ -369,10 +395,12 @@ def starfield(direction, params: StarfieldParams = StarfieldParams()):
         spot = jnp.exp(-(fu * fu + fv * fv) * 40.0)
         temp = 3000.0 + 12000.0 * hash21(cu + 7, cv + 13)
         color = blackbody_ramp(temp)
-        mag = hash21(cu + 31, cv + 5) ** 3
+        h_mag = hash21(cu + 31, cv + 5)
+        mag = h_mag * h_mag * h_mag
         out = out + (star * spot * mag)[..., None] * color
     nebula = fbm2(u * 3.0, v * 3.0, octaves=4)
+    neb2 = nebula * nebula
     neb_color = jnp.stack(
-        [0.35 * nebula**2, 0.2 * nebula**2, 0.5 * nebula**1.5], axis=-1
+        [0.35 * neb2, 0.2 * neb2, 0.5 * nebula * jnp.sqrt(nebula)], axis=-1
     )
     return (params.brightness * out + params.nebula * neb_color).astype(dtype)

@@ -206,9 +206,27 @@ class TestJets:
         img0 = np.asarray(render_radiance(base))
         img1 = np.asarray(render_radiance(jets))
         assert np.all(np.isfinite(img1))
-        # Jets only ever add light.
-        assert (img1 - img0).min() > -1e-6
+        # Jets visibly add light somewhere. (Pixelwise img1 >= img0 does NOT
+        # hold between these two renders: jets=True traces a structurally
+        # different march program, and near-critical photon-ring pixels can
+        # follow diverged f32 trajectories. Monotonicity is asserted below on
+        # a SHARED march result instead.)
         assert (img1 - img0).max() > 1e-4
+
+        from blackhole_simulation_tpu.render.camera import camera_rays
+        from blackhole_simulation_tpu.render.march import march as march_fn
+        from blackhole_simulation_tpu.render.pipeline import shade_sample
+
+        rays = camera_rays(cam, jets.bh, dtype=jnp.float32)
+        result = march_fn(rays, jets.bh, jets.march_cfg, jets=jets.jet_params)
+        rgb_on = np.asarray(shade_sample(result, jets.bh, jets, jnp.float32, rays))
+        rgb_off = np.asarray(shade_sample(result, base.bh, base, jnp.float32, rays))
+        add = rgb_on - rgb_off
+        assert add.min() > -1e-6  # jets only ever add light
+        assert add.max() > 1e-4
+        np.testing.assert_allclose(
+            add, np.asarray(result.jet_radiance), atol=1e-6
+        )
 
     def test_jets_require_disk_rule(self):
         f = Features(disk=False, jets=True)
