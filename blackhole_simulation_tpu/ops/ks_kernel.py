@@ -369,15 +369,104 @@ def ks_rhs_u(m, a, yt, recip=None):
 def ks_renormalize_u(m, a, yt):
     """Project p_r onto H = 0 in u-coordinates; yt (8, N).
 
-    All where/maximum fallback constants are dtype-typed: under x64 a bare
-    python float inside where() becomes an f64 scalar, which poisons the
-    Pallas/mosaic lowering (64-bit emulation) when this runs in-kernel.
+    Thin wrapper over ks_renormalize_pr so the jnp march and the Pallas
+    kernel (which carries rows separately) share one computation graph —
+    near-bitwise parity between the two paths requires identical expression
+    DAGs, or FMA-contraction differences amplify through chaotic
+    photon-ring rays.
     """
-    dt = yt.dtype
+    new_pr = ks_renormalize_pr(m, a, yt[1], yt[2], yt[4], yt[5], yt[6], yt[7])
+    return set_row(yt, 5, new_pr)
+
+
+def ks_rhs_rows(m, a, r, u, pt, pr, pu, pph, recip=None):
+    """ks_rhs_u on unpacked rows -> (dt, dr, du, dph, dpr, dpu).
+
+    Same expressions in the same order as ks_rhs_u, minus the two zero rows
+    for the conserved momenta (p_t, p_phi) — the Pallas kernel carries rows
+    separately so the conserved rows cost nothing per step. Bit-identical
+    to stacking ks_rhs_u's output (tests assert Pallas/jnp march parity).
+    """
+    w, S, D, inv_S, h = _geom_u(m, a, r, u, recip)
+    inv_S2 = inv_S * inv_S
+    inv_w = recip(w) if recip is not None else 1.0 / w
+
+    dt = -(1.0 + h) * pt + h * pr
+    dr = h * pt + D * inv_S * pr + a * inv_S * pph
+    du = w * inv_S * pu
+    dph = a * inv_S * pr + pph * inv_S * inv_w
+
+    S_r = 2.0 * r
+    D_r = 2.0 * r - 2.0 * m
+    h_r = 2.0 * m * (S - 2.0 * r * r) * inv_S2
+    DS_r = (D_r * S - D * S_r) * inv_S2
+    invS_r = -S_r * inv_S2
+    wS_r = -w * S_r * inv_S2
+    invSw_r = -S_r * inv_S2 * inv_w
+    dH_dr = 0.5 * (
+        -h_r * pt * pt
+        + 2.0 * h_r * pt * pr
+        + DS_r * pr * pr
+        + 2.0 * a * invS_r * pr * pph
+        + wS_r * pu * pu
+        + invSw_r * pph * pph
+    )
+
+    S_u = 2.0 * a * a * u
+    w_u = -2.0 * u
+    h_u = -2.0 * m * r * S_u * inv_S2
+    DS_u = -D * S_u * inv_S2
+    invS_u = -S_u * inv_S2
+    wS_u = (w_u * S - w * S_u) * inv_S2
+    invSw_u = -(S_u * w + S * w_u) * inv_S2 * inv_w * inv_w
+    dH_du = 0.5 * (
+        -h_u * pt * pt
+        + 2.0 * h_u * pt * pr
+        + DS_u * pr * pr
+        + 2.0 * a * invS_u * pr * pph
+        + wS_u * pu * pu
+        + invSw_u * pph * pph
+    )
+    return dt, dr, du, dph, -dH_dr, -dH_du
+
+
+def ks_symplectic_step_rows(m, a, rows, dlam, iterations: int = 2, recip=None):
+    """Implicit midpoint on unpacked rows.
+
+    rows = (t, r, u, ph, pt, pr, pu, pph); returns the 6 evolving rows
+    (t, r, u, ph, pr, pu). The conserved p_t, p_phi pass through the
+    midpoint average unchanged ((x + x)/2 == x), so they are simply not
+    averaged — bit-identical to ks_symplectic_step_u.
+    """
+    t, r, u, ph, pt, pr, pu, pph = rows
+    d = ks_rhs_rows(m, a, r, u, pt, pr, pu, pph, recip)
+    nt = t + dlam * d[0]
+    nr = r + dlam * d[1]
+    nu = u + dlam * d[2]
+    nph = ph + dlam * d[3]
+    npr = pr + dlam * d[4]
+    npu = pu + dlam * d[5]
+    for _ in range(iterations):
+        d = ks_rhs_rows(
+            m, a,
+            0.5 * (r + nr), 0.5 * (u + nu),
+            pt, 0.5 * (pr + npr), 0.5 * (pu + npu), pph,
+            recip,
+        )
+        nt = t + dlam * d[0]
+        nr = r + dlam * d[1]
+        nu = u + dlam * d[2]
+        nph = ph + dlam * d[3]
+        npr = pr + dlam * d[4]
+        npu = pu + dlam * d[5]
+    return nt, nr, nu, nph, npr, npu
+
+
+def ks_renormalize_pr(m, a, r, u, pt, pr, pu, pph):
+    """ks_renormalize_u on unpacked rows: returns the projected p_r row."""
+    dt = r.dtype
     one = jnp.asarray(1.0, dt)
     tiny = jnp.asarray(1e-30, dt)
-    r, u = yt[1], yt[2]
-    pt, pr, pu, pph = yt[4], yt[5], yt[6], yt[7]
     w, S, D, inv_S, h = _geom_u(m, a, r, u)
     A = D * inv_S
     B = 2.0 * (h * pt + a * inv_S * pph)
@@ -389,7 +478,7 @@ def ks_renormalize_u(m, a, yt):
     sol1 = (-B + sqrt_d) / denom
     sol2 = (-B - sqrt_d) / denom
     nearest = jnp.where(jnp.abs(sol1 - pr) < jnp.abs(sol2 - pr), sol1, sol2)
-    return set_row(yt, 5, jnp.where(valid, nearest, pr))
+    return jnp.where(valid, nearest, pr)
 
 
 def ks_symplectic_step_u(m, a, yt, dlam, iterations: int = 2, recip=None):
@@ -397,9 +486,12 @@ def ks_symplectic_step_u(m, a, yt, dlam, iterations: int = 2, recip=None):
 
     iterations=1 degenerates to the explicit RK2 midpoint step (the seed is
     explicit Euler), trading one RHS evaluation for the symplectic property;
-    the periodic null renormalization holds H = 0 either way."""
-    hh = dlam[None, :]
-    y_next = yt + hh * ks_rhs_u(m, a, yt, recip)
-    for _ in range(iterations):
-        y_next = yt + hh * ks_rhs_u(m, a, 0.5 * (yt + y_next), recip)
-    return y_next
+    the periodic null renormalization holds H = 0 either way.
+
+    Wrapper over ks_symplectic_step_rows (shared DAG with the Pallas kernel
+    — see ks_renormalize_u). The conserved p_t, p_phi rows pass through."""
+    rows = (yt[0], yt[1], yt[2], yt[3], yt[4], yt[5], yt[6], yt[7])
+    nt, nr, nu, nph, npr, npu = ks_symplectic_step_rows(
+        m, a, rows, dlam, iterations, recip
+    )
+    return jnp.stack([nt, nr, nu, nph, yt[4], npr, npu, yt[7]], axis=0)

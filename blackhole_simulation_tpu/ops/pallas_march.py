@@ -27,10 +27,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from blackhole_simulation_tpu.ops.ks_kernel import (
-    ks_renormalize_u,
-    ks_rhs_u,
-    ks_symplectic_step_u,
-    set_row,
+    ks_renormalize_pr,
+    ks_symplectic_step_rows,
     w_floor,
 )
 
@@ -120,6 +118,11 @@ def from_block_order(x: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
 def _march_kernel(params_ref, y_ref, yo_ref, hit_ref, steps_ref, cr_ref,
                   cp_ref, ct_ref, nc_ref, *, cfg, approx_recip=False):
     yt0 = y_ref[0]  # (8, SUB, LANE): 8 state rows, each one full VPU vreg
+    # The state is carried as 6 separate evolving rows (t, r, u, phi, p_r,
+    # p_u) plus 2 loop-invariant conserved rows (p_t, p_phi) captured by the
+    # loop body — not as one (8, SUB, LANE) block. The block form paid two
+    # zero-row FMAs per RHS eval, an 8-row iota-mask select for the u clip,
+    # and 8-row advance selects every step; rows cost exactly what they use.
     dt = yt0.dtype
     # Every numeric literal must be dtype-typed: with jax_enable_x64 on,
     # bare python floats/ints inside clip/where materialize f64/i64 scalars,
@@ -137,7 +140,10 @@ def _march_kernel(params_ref, y_ref, yo_ref, hit_ref, steps_ref, cr_ref,
     k_slots = cfg.max_crossings
     slot_ids = jax.lax.broadcasted_iota(jnp.int32, (k_slots, SUB, LANE), 0)
 
-    hit0 = jnp.where(yt0[1] < horizon_r, I(HIT_HORIZON), I(HIT_NONE))
+    t0_, r0_, u0_, ph0_ = yt0[0], yt0[1], yt0[2], yt0[3]
+    pt_, pr0_, pu0_, pph_ = yt0[4], yt0[5], yt0[6], yt0[7]
+
+    hit0 = jnp.where(r0_ < horizon_r, I(HIT_HORIZON), I(HIT_NONE))
     zeros_k = jnp.zeros((k_slots, SUB, LANE), dtype=dt)
 
     # Renormalization runs on the LAST step of each `renormalize_every`
@@ -148,7 +154,7 @@ def _march_kernel(params_ref, y_ref, yo_ref, hit_ref, steps_ref, cr_ref,
     exit_every = min(cfg.renormalize_every, cfg.max_steps)
 
     def cond(carry):
-        i, yt, hit, steps, cr, cp, ct, nc = carry
+        i, hit = carry[0], carry[7]
         # Per-tile early exit: stop when every ray in the tile is done.
         # (int32 max-reduce: jnp.any lowers through an f64 squeeze when
         # jax_enable_x64 is on, which mosaic rejects.)
@@ -156,13 +162,11 @@ def _march_kernel(params_ref, y_ref, yo_ref, hit_ref, steps_ref, cr_ref,
         return (i < I(cfg.max_steps)) & (n_live > I(0))
 
     def body(carry, do_renorm: bool):
-        i, yt, hit, steps, cr, cp, ct, nc = carry
+        i, t, r, u, ph, pr, pu, hit, steps, cr, cp, ct, nc = carry
         # i < max_steps guard: the batched exit check can run past the step
         # budget; those overshoot steps must be no-ops for jnp-path parity.
         active = (hit == I(HIT_NONE)) & (i < I(cfg.max_steps))
 
-        r = yt[1]
-        u = yt[2]
         base = (r - r_h) * F(cfg.step_rate)
         far = jnp.maximum(r / F(cfg.far_boost_radius), F(1.0))
         prox = jnp.clip(jnp.abs(r - r_ph) * inv_rph, F(0.25), F(1.0))
@@ -177,7 +181,7 @@ def _march_kernel(params_ref, y_ref, yo_ref, hit_ref, steps_ref, cr_ref,
         # silently diverge (w_floor is 1e-6 in f32, 1e-12 in f64).
         w = jnp.maximum(F(1.0) - u * u, F(w_floor(dt)))
         sig = r * r + a * a * u * u
-        du_rate = jnp.abs(w * yt[6] / sig) + F(1e-12)
+        du_rate = jnp.abs(w * pu / sig) + F(1e-12)
         margin = F(1.0) - jnp.abs(u) + F(1e-6)
         dlam = jnp.minimum(
             dlam, jnp.maximum(F(0.5) * margin / du_rate, F(cfg.min_step))
@@ -186,29 +190,28 @@ def _march_kernel(params_ref, y_ref, yo_ref, hit_ref, steps_ref, cr_ref,
         recip = (
             (lambda x: pl.reciprocal(x, approx=True)) if approx_recip else None
         )
-        yt_next = ks_symplectic_step_u(m, a, yt, dlam, cfg.midpoint_iters, recip)
-        yt_next = set_row(
-            yt_next, 2, jnp.clip(yt_next[2], F(-1.0 + 1e-7), F(1.0 - 1e-7))
+        nt, nr, nu, nph, npr, npu = ks_symplectic_step_rows(
+            m, a, (t, r, u, ph, pt_, pr, pu, pph_), dlam,
+            cfg.midpoint_iters, recip,
         )
+        nu = jnp.clip(nu, F(-1.0 + 1e-7), F(1.0 - 1e-7))
 
         if do_renorm:  # static: the block's last step renormalizes
-            yt_next = ks_renormalize_u(m, a, yt_next)
+            npr = ks_renormalize_pr(m, a, nr, nu, pt_, npr, npu, pph_)
 
-        u0 = yt[2]
-        u1 = yt_next[2]
         # Equator-crossing record, unconditionally masked: the earlier
         # tile-level lax.cond needed a cross-lane any() reduce + scalar
         # branch EVERY step, which stalls the pipeline for longer than the
         # ~K masked selects it saved.
-        maybe = active & ((u0 * u1) < F(0.0)) & (nc < I(k_slots))
+        maybe = active & ((u * nu) < F(0.0)) & (nc < I(k_slots))
         frac = jnp.clip(
-            u0 / jnp.where(jnp.abs(u0 - u1) < F(1e-12), F(1e-12), u0 - u1),
+            u / jnp.where(jnp.abs(u - nu) < F(1e-12), F(1e-12), u - nu),
             F(0.0),
             F(1.0),
         )
-        r_c = yt[1] + frac * (yt_next[1] - yt[1])
-        phi_c = yt[3] + frac * (yt_next[3] - yt[3])
-        t_c = yt[0] + frac * (yt_next[0] - yt[0])
+        r_c = r + frac * (nr - r)
+        phi_c = ph + frac * (nph - ph)
+        t_c = t + frac * (nt - t)
         crossed = (
             maybe & (r_c > F(cfg.record_r_min)) & (r_c < F(cfg.record_r_max))
         )
@@ -219,23 +222,27 @@ def _march_kernel(params_ref, y_ref, yo_ref, hit_ref, steps_ref, cr_ref,
         nc = nc + jnp.where(crossed, I(1), I(0))
 
         sane = (
-            jnp.isfinite(yt_next[1])
-            & jnp.isfinite(yt_next[3])
-            & jnp.isfinite(yt_next[5])
-            & jnp.isfinite(yt_next[6])
-            & (jnp.abs(yt_next[5]) < F(1e7))
-            & (jnp.abs(yt_next[6]) < F(1e7))
-            & (yt_next[1] < F(8.0 * cfg.escape_radius))
+            jnp.isfinite(nr)
+            & jnp.isfinite(nph)
+            & jnp.isfinite(npr)
+            & jnp.isfinite(npu)
+            & (jnp.abs(npr) < F(1e7))
+            & (jnp.abs(npu) < F(1e7))
+            & (nr < F(8.0 * cfg.escape_radius))
         )
         advance = active & sane
-        yt = jnp.where(advance[None, :], yt_next, yt)
+        t = jnp.where(advance, nt, t)
+        r = jnp.where(advance, nr, r)
+        u = jnp.where(advance, nu, u)
+        ph = jnp.where(advance, nph, ph)
+        pr = jnp.where(advance, npr, pr)
+        pu = jnp.where(advance, npu, pu)
         steps = steps + jnp.where(advance, I(1), I(0))
         hit = jnp.where(active & ~sane, I(HIT_HORIZON), hit)
 
-        r_new = yt[1]
-        hit = jnp.where(active & (r_new < horizon_r), I(HIT_HORIZON), hit)
-        hit = jnp.where(active & (r_new > F(cfg.escape_radius)), I(HIT_ESCAPE), hit)
-        return i + I(1), yt, hit, steps, cr, cp, ct, nc
+        hit = jnp.where(active & (r < horizon_r), I(HIT_HORIZON), hit)
+        hit = jnp.where(active & (r > F(cfg.escape_radius)), I(HIT_ESCAPE), hit)
+        return i + I(1), t, r, u, ph, pr, pu, hit, steps, cr, cp, ct, nc
 
     def body_block(carry):
         carry = jax.lax.fori_loop(
@@ -246,7 +253,7 @@ def _march_kernel(params_ref, y_ref, yo_ref, hit_ref, steps_ref, cr_ref,
 
     carry = (
         jnp.int32(0),
-        yt0,
+        t0_, r0_, u0_, ph0_, pr0_, pu0_,
         hit0,
         jnp.zeros((SUB, LANE), jnp.int32),
         zeros_k,
@@ -254,10 +261,11 @@ def _march_kernel(params_ref, y_ref, yo_ref, hit_ref, steps_ref, cr_ref,
         zeros_k,
         jnp.zeros((SUB, LANE), jnp.int32),
     )
-    _, yt, hit, steps, cr, cp, ct, nc = jax.lax.while_loop(cond, body_block, carry)
+    out = jax.lax.while_loop(cond, body_block, carry)
+    _, t, r, u, ph, pr, pu, hit, steps, cr, cp, ct, nc = out
     hit = jnp.where(hit == I(HIT_NONE), I(HIT_HORIZON), hit)
 
-    yo_ref[0] = yt
+    yo_ref[0] = jnp.stack([t, r, u, ph, pt_, pr, pu, pph_])
     hit_ref[0] = hit
     steps_ref[0] = steps
     cr_ref[0] = cr

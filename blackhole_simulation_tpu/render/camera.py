@@ -106,8 +106,9 @@ def pixel_grid(width: int, height: int, jitter=None, dtype=jnp.float32):
     xs = (jnp.arange(width, dtype=dtype) + 0.5) / width
     ys = (jnp.arange(height, dtype=dtype) + 0.5) / height
     if jitter is not None:
-        xs = xs + jitter[0] / width
-        ys = ys + jitter[1] / height
+        # astype: an f64 jitter scalar would promote the whole grid.
+        xs = xs + jnp.asarray(jitter[0], dtype) / width
+        ys = ys + jnp.asarray(jitter[1], dtype) / height
     ndc_x = xs * 2.0 - 1.0
     ndc_y = 1.0 - ys * 2.0
     return jnp.meshgrid(ndc_x, ndc_y, indexing="xy")
@@ -154,17 +155,25 @@ def _rays_from_ndc(camera: Camera, bh: Kerr, nx, ny, dtype):
     at 1080p; this form ~1 ms)."""
     m, a = bh.mass, bh.spin
     r0, th0, ph0 = camera.r, camera.theta, camera.phi
-    aspect = camera.width / camera.height
-    half = jnp.tan(camera.fov / 2.0)
-    cx = nx * half * aspect
+    # All per-pixel math runs in the render dtype: camera fields are f64
+    # scalars (the package enables x64 for the oracle layer), and one f64
+    # scalar touching the (N,) NDC arrays promotes the whole ray-gen sweep
+    # to emulated f64 on TPU (measured 24 ms of a 84 ms frame at 1080p;
+    # ~1 ms in f32). Scalar camera/tetrad math below stays f64.
+    aspect = jnp.asarray(camera.width / camera.height, dtype)
+    half = jnp.tan(camera.fov / 2.0).astype(dtype)
+    nx = nx.astype(dtype)
+    ny = ny.astype(dtype)
+    cx = nx * (half * aspect)
     cy = ny * half
 
-    cr_, sr_ = jnp.cos(camera.roll), jnp.sin(camera.roll)
+    cr_ = jnp.cos(camera.roll).astype(dtype)
+    sr_ = jnp.sin(camera.roll).astype(dtype)
     cx, cy = cx * cr_ - cy * sr_, cx * sr_ + cy * cr_
 
     # Local unit direction: forward = -e_r (inward), right = -e_phi, up = -e_theta
     # (theta increases downward from the pole, so screen-up is -e_theta).
-    inv_norm = 1.0 / jnp.sqrt(1.0 + cx * cx + cy * cy)
+    inv_norm = jnp.asarray(1.0, dtype) / jnp.sqrt(1.0 + cx * cx + cy * cy)
     n_r = -inv_norm                 # inward
     n_th = -cy * inv_norm           # screen up
     n_ph = -cx * inv_norm           # screen right

@@ -171,35 +171,55 @@ def march(
             jet_radiance=jnp.zeros((n, 3), dtype=dtype),
         )
 
-    # Benign far-field state substituted into the step for terminated rays
+    # The state is carried as 6 separate evolving rows (t, r, u, phi, p_r,
+    # p_u); the conserved p_t, p_phi rows are loop-invariant captures — the
+    # same row decomposition as the Pallas kernel, and the SAME row-level
+    # expression graph (ks_symplectic_step_rows / ks_renormalize_pr), which
+    # is what keeps the two paths near-bitwise equal: any ulp-level FMA or
+    # fusion difference amplifies through chaotic photon-ring rays.
+    t0s, r0s, u0s, ph0s = yt0[0], yt0[1], yt0[2], yt0[3]
+    pt_c, pr0s, pu0s, pph_c = yt0[4], yt0[5], yt0[6], yt0[7]
+
+    # Benign far-field values substituted into the step for terminated rays
     # (the "double-where" rule): a frozen ray's discarded y_next can still
     # overflow in f32 (it keeps re-stepping its frozen state), and reverse-
     # mode turns 0-cotangent x Inf-primal into NaN — d(pixel)/d(spin) was
     # NaN at a=0.7 f32 until dead lanes stepped this safe state instead.
-    safe_yt = jnp.array([0.0, 10.0, 0.0, 0.0, -1.0, 0.0, 0.0, 0.0], dtype)[:, None]
+    # (p_t, p_phi are conserved and always finite, so they pass through.)
+    safe = jnp.asarray([0.0, 10.0, 0.0, 0.0, 0.0, 0.0], dtype)
+
+    from blackhole_simulation_tpu.ops.ks_kernel import (
+        ks_renormalize_pr,
+        ks_symplectic_step_rows,
+        w_floor,
+    )
 
     def body(i, carry):
-        yt, hit, steps, cr, cp, ct, ncross, jet_rgb = carry
+        t, r, u, ph, pr, pu, hit, steps, cr, cp, ct, ncross, jet_rgb = carry
         active = hit == HIT_NONE
-        yt_in = jnp.where(active[None, :], yt, safe_yt)
+        t_in = jnp.where(active, t, safe[0])
+        r_in = jnp.where(active, r, safe[1])
+        u_in = jnp.where(active, u, safe[2])
+        ph_in = jnp.where(active, ph, safe[3])
+        pr_in = jnp.where(active, pr, safe[4])
+        pu_in = jnp.where(active, pu, safe[5])
 
-        r = yt[1]
-        u = yt[2]
         dlam = adaptive_dlam(r, r_h, r_ph, cfg, dtype)
 
         # Pole throttle: cap the step so u cannot overshoot past +-1 (where
         # w = 1 - u^2 hits its guard and dphi/dlam spikes). du/dlam = w pu/S.
-        from blackhole_simulation_tpu.ops.ks_kernel import w_floor
-
         w = jnp.maximum(1.0 - u * u, w_floor(dtype))
         sig = r * r + a_bh * a_bh * u * u
-        du_rate = jnp.abs(w * yt[6] / sig) + 1e-12
+        du_rate = jnp.abs(w * pu / sig) + 1e-12
         margin = 1.0 - jnp.abs(u) + 1e-6
         dlam = jnp.minimum(dlam, jnp.maximum(0.5 * margin / du_rate, cfg.min_step))
 
-        yt_next = ks_symplectic_step_u(m_bh, a_bh, yt_in, dlam, cfg.midpoint_iters)
+        nt, nr, nu, nph, npr, npu = ks_symplectic_step_rows(
+            m_bh, a_bh, (t_in, r_in, u_in, ph_in, pt_c, pr_in, pu_in, pph_c),
+            dlam, cfg.midpoint_iters,
+        )
         # Keep u inside the chart after any residual overshoot.
-        yt_next = yt_next.at[2].set(jnp.clip(yt_next[2], -1.0 + 1e-7, 1.0 - 1e-7))
+        nu = jnp.clip(nu, -1.0 + 1e-7, 1.0 - 1e-7)
 
         if jets is not None:
             from blackhole_simulation_tpu.render.shading import jet_emission_step
@@ -208,10 +228,10 @@ def march(
             st = jnp.sqrt(w)
             contrib = jet_emission_step(
                 jets,
-                r, st, u, yt[3],
-                (yt_next[1] - yt[1]) * inv,
-                -(yt_next[2] - yt[2]) * inv / st,  # dtheta = -du / sin(theta)
-                (yt_next[3] - yt[3]) * inv,
+                r, st, u, ph,
+                (nr - r) * inv,
+                -(nu - u) * inv / st,  # dtheta = -du / sin(theta)
+                (nph - ph) * inv,
                 dlam,
                 dtype,
             )  # (3, N)
@@ -219,21 +239,23 @@ def march(
 
         # Periodic null renormalization to hold H = 0 in low precision.
         renorm = (i % cfg.renormalize_every) == cfg.renormalize_every - 1
-        yt_next = jnp.where(renorm, ks_renormalize_u(m_bh, a_bh, yt_next), yt_next)
+        npr = jnp.where(
+            renorm,
+            ks_renormalize_pr(m_bh, a_bh, nr, nu, pt_c, npr, npu, pph_c),
+            npr,
+        )
 
         # Equator-crossing detection: u sign change; interpolate the record
         # (chunks/disk.ts:22-31 / compute.wgsl.ts:217, recorded not shaded).
-        u0 = yt[2]
-        u1 = yt_next[2]
         frac = jnp.clip(
-            u0 / jnp.where(jnp.abs(u0 - u1) < 1e-12, 1e-12, u0 - u1), 0.0, 1.0
+            u / jnp.where(jnp.abs(u - nu) < 1e-12, 1e-12, u - nu), 0.0, 1.0
         )
-        r_c = yt[1] + frac * (yt_next[1] - yt[1])
-        phi_c = yt[3] + frac * (yt_next[3] - yt[3])
-        t_c = yt[0] + frac * (yt_next[0] - yt[0])
+        r_c = r + frac * (nr - r)
+        phi_c = ph + frac * (nph - ph)
+        t_c = t + frac * (nt - t)
         crossed = (
             active
-            & ((u0 * u1) < 0.0)
+            & ((u * nu) < 0.0)
             & (r_c > cfg.record_r_min)
             & (r_c < cfg.record_r_max)
             & (ncross < k_slots)
@@ -251,30 +273,34 @@ def march(
         # state goes non-finite OR its momenta/radius leave sane bounds
         # (a diverged ray once produced r ~ 7e6 and was misread as escaped).
         sane = (
-            jnp.isfinite(yt_next[1])
-            & jnp.isfinite(yt_next[3])
-            & jnp.isfinite(yt_next[5])
-            & jnp.isfinite(yt_next[6])
-            & (jnp.abs(yt_next[5]) < 1e7)
-            & (jnp.abs(yt_next[6]) < 1e7)
-            & (yt_next[1] < 8.0 * cfg.escape_radius)
+            jnp.isfinite(nr)
+            & jnp.isfinite(nph)
+            & jnp.isfinite(npr)
+            & jnp.isfinite(npu)
+            & (jnp.abs(npr) < 1e7)
+            & (jnp.abs(npu) < 1e7)
+            & (nr < 8.0 * cfg.escape_radius)
         )
         advance = active & sane
-        yt = jnp.where(advance[None, :], yt_next, yt)
+        t = jnp.where(advance, nt, t)
+        r = jnp.where(advance, nr, r)
+        u = jnp.where(advance, nu, u)
+        ph = jnp.where(advance, nph, ph)
+        pr = jnp.where(advance, npr, pr)
+        pu = jnp.where(advance, npu, pu)
         steps = steps + advance.astype(jnp.int32)
         hit = jnp.where(active & ~sane, HIT_HORIZON, hit)
 
-        r_new = yt[1]
-        hit = jnp.where(active & (r_new < horizon_r), HIT_HORIZON, hit)
-        hit = jnp.where(active & (r_new > cfg.escape_radius), HIT_ESCAPE, hit)
-        return yt, hit, steps, cr, cp, ct, ncross, jet_rgb
+        hit = jnp.where(active & (r < horizon_r), HIT_HORIZON, hit)
+        hit = jnp.where(active & (r > cfg.escape_radius), HIT_ESCAPE, hit)
+        return t, r, u, ph, pr, pu, hit, steps, cr, cp, ct, ncross, jet_rgb
 
     hit0 = jnp.zeros(n, dtype=jnp.int32)
     # Rays born inside the horizon terminate immediately.
-    hit0 = jnp.where(yt0[1] < horizon_r, HIT_HORIZON, hit0)
+    hit0 = jnp.where(r0s < horizon_r, HIT_HORIZON, hit0)
     zeros_k = jnp.zeros((k_slots, n), dtype=dtype)
     carry = (
-        yt0,
+        t0s, r0s, u0s, ph0s, pr0s, pu0s,
         hit0,
         jnp.zeros(n, dtype=jnp.int32),
         zeros_k,
@@ -283,9 +309,9 @@ def march(
         jnp.zeros(n, dtype=jnp.int32),
         jnp.zeros((3, n), dtype=dtype),
     )
-    yt, hit, steps, cr, cp, ct, ncross, jet_rgb = jax.lax.fori_loop(
-        0, cfg.max_steps, body, carry
-    )
+    out = jax.lax.fori_loop(0, cfg.max_steps, body, carry)
+    t, r, u, ph, pr, pu, hit, steps, cr, cp, ct, ncross, jet_rgb = out
+    yt = jnp.stack([t, r, u, ph, pt_c, pr, pu, pph_c], axis=0)
     # Step budget exhausted while still live: closest to a horizon-bound ray
     # (photon-ring orbiters) — classify as horizon like the reference's cap.
     hit = jnp.where(hit == HIT_NONE, HIT_HORIZON, hit)
