@@ -115,9 +115,12 @@ def from_block_order(x: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
     return x[:height, :width].reshape(height * width, *tail)
 
 
-def _march_kernel(params_ref, y_ref, yo_ref, hit_ref, steps_ref, cr_ref,
-                  cp_ref, ct_ref, nc_ref, *, cfg, approx_recip=False):
+def _march_kernel(params_ref, y_ref, thr_ref, yo_ref, hit_ref, steps_ref,
+                  cr_ref, cp_ref, ct_ref, nc_ref, rmin_ref, *, cfg,
+                  approx_recip=False):
     yt0 = y_ref[0]  # (8, SUB, LANE): 8 state rows, each one full VPU vreg
+    # Per-ray termination radius (horizon_r, or the pre-cull stop radius).
+    thr = thr_ref[0]
     # The state is carried as 6 separate evolving rows (t, r, u, phi, p_r,
     # p_u) plus 2 loop-invariant conserved rows (p_t, p_phi) captured by the
     # loop body — not as one (8, SUB, LANE) block. The block form paid two
@@ -134,7 +137,6 @@ def _march_kernel(params_ref, y_ref, yo_ref, hit_ref, steps_ref, cr_ref,
     a = params_ref[0, 1]
     r_h = params_ref[0, 2]
     r_ph = params_ref[0, 3]
-    horizon_r = F(cfg.horizon_factor) * r_h
     inv_rph = F(1.0) / jnp.maximum(r_ph, F(1e-3))  # scalar, hoisted
 
     k_slots = cfg.max_crossings
@@ -143,15 +145,17 @@ def _march_kernel(params_ref, y_ref, yo_ref, hit_ref, steps_ref, cr_ref,
     t0_, r0_, u0_, ph0_ = yt0[0], yt0[1], yt0[2], yt0[3]
     pt_, pr0_, pu0_, pph_ = yt0[4], yt0[5], yt0[6], yt0[7]
 
-    hit0 = jnp.where(r0_ < horizon_r, I(HIT_HORIZON), I(HIT_NONE))
+    hit0 = jnp.where(r0_ < thr, I(HIT_HORIZON), I(HIT_NONE))
     zeros_k = jnp.zeros((k_slots, SUB, LANE), dtype=dt)
 
-    # Renormalization runs on the LAST step of each `renormalize_every`
-    # block — statically, not behind a per-step lax.cond: a traced scalar
-    # branch every step serializes the vector pipeline (measured ~10 % of
-    # kernel time). The tile-exit reduce+branch amortizes over the same
-    # block (worst case that many masked no-op steps before exiting).
-    exit_every = min(cfg.renormalize_every, cfg.max_steps)
+    # The tile-exit reduce+branch amortizes over `exit_check_every` steps.
+    # The block interior is a lax.while_loop, NOT a fori_loop: Mosaic
+    # unrolls static-trip loops into one giant basic block and compile time
+    # explodes superlinearly in (trip count x SUB) — measured 17.5 s at trip
+    # 1 vs >580 s at trip 15 with SUB=32 (r2 shipped 376 s compile+first
+    # frame because of exactly this). Runtime is insensitive: the while
+    # back-edge costs what the per-step exit branch it replaced did.
+    exit_every = min(cfg.exit_check_every, cfg.max_steps)
 
     def cond(carry):
         i, hit = carry[0], carry[7]
@@ -161,8 +165,8 @@ def _march_kernel(params_ref, y_ref, yo_ref, hit_ref, steps_ref, cr_ref,
         n_live = jnp.max(jnp.where(hit == I(HIT_NONE), I(1), I(0)))
         return (i < I(cfg.max_steps)) & (n_live > I(0))
 
-    def body(carry, do_renorm: bool):
-        i, t, r, u, ph, pr, pu, hit, steps, cr, cp, ct, nc = carry
+    def body(carry):
+        i, t, r, u, ph, pr, pu, hit, steps, cr, cp, ct, nc, rmin = carry
         # i < max_steps guard: the batched exit check can run past the step
         # budget; those overshoot steps must be no-ops for jnp-path parity.
         active = (hit == I(HIT_NONE)) & (i < I(cfg.max_steps))
@@ -196,8 +200,15 @@ def _march_kernel(params_ref, y_ref, yo_ref, hit_ref, steps_ref, cr_ref,
         )
         nu = jnp.clip(nu, F(-1.0 + 1e-7), F(1.0 - 1e-7))
 
-        if do_renorm:  # static: the block's last step renormalizes
-            npr = ks_renormalize_pr(m, a, nr, nu, pt_, npr, npu, pph_)
+        # Periodic null renormalization as a scalar-predicated vector select
+        # — the SAME masked form as the jnp path (render/march.py), so the
+        # two paths share even this part of the expression DAG. A lax.cond
+        # here would trace the body twice and stall the vector pipeline on a
+        # scalar branch; the select costs ~25 always-on vector ops instead.
+        renorm_now = (i % I(cfg.renormalize_every)) == I(cfg.renormalize_every - 1)
+        npr = jnp.where(
+            renorm_now, ks_renormalize_pr(m, a, nr, nu, pt_, npr, npu, pph_), npr
+        )
 
         # Equator-crossing record, unconditionally masked: the earlier
         # tile-level lax.cond needed a cross-lane any() reduce + scalar
@@ -238,18 +249,22 @@ def _march_kernel(params_ref, y_ref, yo_ref, hit_ref, steps_ref, cr_ref,
         pr = jnp.where(advance, npr, pr)
         pu = jnp.where(advance, npu, pu)
         steps = steps + jnp.where(advance, I(1), I(0))
+        # Photon-ring proximity record — same update as the jnp path.
+        rmin = jnp.where(advance, jnp.minimum(rmin, jnp.abs(r - r_ph)), rmin)
         hit = jnp.where(active & ~sane, I(HIT_HORIZON), hit)
 
-        hit = jnp.where(active & (r < horizon_r), I(HIT_HORIZON), hit)
+        hit = jnp.where(active & (r < thr), I(HIT_HORIZON), hit)
         hit = jnp.where(active & (r > F(cfg.escape_radius)), I(HIT_ESCAPE), hit)
-        return i + I(1), t, r, u, ph, pr, pu, hit, steps, cr, cp, ct, nc
+        return i + I(1), t, r, u, ph, pr, pu, hit, steps, cr, cp, ct, nc, rmin
 
     def body_block(carry):
-        carry = jax.lax.fori_loop(
-            0, exit_every - 1, lambda _, c: body(c, False), carry
+        # exit_every steps per tile-exit check; dynamic-bound while_loop so
+        # Mosaic cannot unroll it (see exit_every comment above). The body
+        # is traced exactly ONCE in the whole kernel.
+        j0 = carry[0]
+        return jax.lax.while_loop(
+            lambda c: c[0] < j0 + I(exit_every), body, carry
         )
-        renorm_last = cfg.renormalize_every <= cfg.max_steps
-        return body(carry, renorm_last)
 
     carry = (
         jnp.int32(0),
@@ -260,9 +275,10 @@ def _march_kernel(params_ref, y_ref, yo_ref, hit_ref, steps_ref, cr_ref,
         zeros_k,
         zeros_k,
         jnp.zeros((SUB, LANE), jnp.int32),
+        jnp.abs(r0_ - r_ph),
     )
     out = jax.lax.while_loop(cond, body_block, carry)
-    _, t, r, u, ph, pr, pu, hit, steps, cr, cp, ct, nc = out
+    _, t, r, u, ph, pr, pu, hit, steps, cr, cp, ct, nc, rmin = out
     hit = jnp.where(hit == I(HIT_NONE), I(HIT_HORIZON), hit)
 
     yo_ref[0] = jnp.stack([t, r, u, ph, pt_, pr, pu, pph_])
@@ -272,24 +288,30 @@ def _march_kernel(params_ref, y_ref, yo_ref, hit_ref, steps_ref, cr_ref,
     cp_ref[0] = cp
     ct_ref[0] = ct
     nc_ref[0] = nc
+    rmin_ref[0] = rmin
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
-def pallas_march_u(yt0: jnp.ndarray, m, a, r_h, r_ph, cfg, interpret: bool = False):
+def pallas_march_u(yt0: jnp.ndarray, thr: jnp.ndarray, m, a, r_h, r_ph, cfg,
+                   interpret: bool = False):
     """Run the tile-resident march. yt0: (8, N) u-coordinate f32 state
-    (pre-renormalized). Returns (yt, hit, steps, cross_r, cross_phi,
-    cross_t, ncross) with the same shapes/meanings as the jnp march
-    internals. N is padded to a TILE multiple internally.
+    (pre-renormalized); thr: (N,) per-ray termination radius (horizon_r, or
+    the pre-cull stop radius). Returns (yt, hit, steps, cross_r, cross_phi,
+    cross_t, ncross, r_min_ph) with the same shapes/meanings as the jnp
+    march internals. N is padded to a TILE multiple internally.
     """
     n = yt0.shape[1]
     n_pad = _cdiv(n, TILE) * TILE
     if n_pad != n:
-        # Padded rays are born at r = 0: inside the horizon, dead at step 0.
+        # Padded rays are born at r = 0 with a huge termination radius:
+        # dead at step 0.
         yt0 = jnp.pad(yt0, ((0, 0), (0, n_pad - n)))
+        thr = jnp.pad(thr, (0, n_pad - n), constant_values=1e9)
     nb = n_pad // TILE
     # (8, N) -> (nb, 8, SUB, LANE): ray j = i*TILE + s*LANE + l, so each grid
     # program owns one contiguous TILE with every state row a (8, 128) vreg.
     yt0 = yt0.reshape(8, nb, SUB, LANE).transpose(1, 0, 2, 3)
+    thr = thr.reshape(nb, SUB, LANE)
 
     params = jnp.stack(
         [m, a, r_h, r_ph, jnp.zeros_like(m), jnp.zeros_like(m), jnp.zeros_like(m),
@@ -312,6 +334,7 @@ def pallas_march_u(yt0: jnp.ndarray, m, a, r_h, r_ph, cfg, interpret: bool = Fal
         jax.ShapeDtypeStruct((nb, k_slots, SUB, LANE), yt0.dtype), # cross_phi
         jax.ShapeDtypeStruct((nb, k_slots, SUB, LANE), yt0.dtype), # cross_t
         jax.ShapeDtypeStruct((nb, SUB, LANE), jnp.int32),          # ncross
+        jax.ShapeDtypeStruct((nb, SUB, LANE), yt0.dtype),          # r_min_ph
     )
     spec4 = lambda rows: pl.BlockSpec(
         (1, rows, SUB, LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
@@ -331,6 +354,7 @@ def pallas_march_u(yt0: jnp.ndarray, m, a, r_h, r_ph, cfg, interpret: bool = Fal
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),  # params (1, 8)
                 spec4(8),
+                spec3,
             ],
             out_specs=(
                 spec4(8),
@@ -340,12 +364,13 @@ def pallas_march_u(yt0: jnp.ndarray, m, a, r_h, r_ph, cfg, interpret: bool = Fal
                 spec4(k_slots),
                 spec4(k_slots),
                 spec3,
+                spec3,
             ),
             out_shape=out_shapes,
             interpret=interpret,
-        )(params, yt0)
+        )(params, yt0, thr)
 
-    yt, hit, steps, cr, cp, ct, nc = outs
+    yt, hit, steps, cr, cp, ct, nc, rmin = outs
     sl = slice(0, n)
     flat3 = lambda x: x.reshape(n_pad)[sl]
     flat4 = lambda x, rows: x.transpose(1, 0, 2, 3).reshape(rows, n_pad)[:, sl]
@@ -357,4 +382,5 @@ def pallas_march_u(yt0: jnp.ndarray, m, a, r_h, r_ph, cfg, interpret: bool = Fal
         flat4(cp, k_slots),
         flat4(ct, k_slots),
         flat3(nc),
+        flat3(rmin),
     )

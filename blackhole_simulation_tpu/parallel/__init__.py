@@ -9,11 +9,16 @@ jit arguments, LUTs as device-resident arrays.
 """
 
 from blackhole_simulation_tpu.parallel.mesh import (
+    make_host_chip_mesh,
     make_mesh,
     local_device_count,
     initialize_multihost,
 )
-from blackhole_simulation_tpu.parallel.render import render_sharded, shard_rays_spec
+from blackhole_simulation_tpu.parallel.render import (
+    gather_image,
+    render_sharded,
+    shard_rays_spec,
+)
 from blackhole_simulation_tpu.parallel.train import (
     InverseParams,
     init_opt_state,
@@ -22,9 +27,11 @@ from blackhole_simulation_tpu.parallel.train import (
 )
 
 __all__ = [
+    "make_host_chip_mesh",
     "make_mesh",
     "local_device_count",
     "initialize_multihost",
+    "gather_image",
     "render_sharded",
     "shard_rays_spec",
     "InverseParams",

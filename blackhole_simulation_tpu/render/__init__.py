@@ -35,6 +35,7 @@ from blackhole_simulation_tpu.render.pipeline import (
     Features,
     Scene,
     halton_jitters,
+    oracle_render,
     render,
     render_radiance,
 )
@@ -67,6 +68,7 @@ __all__ = [
     "Features",
     "Scene",
     "halton_jitters",
+    "oracle_render",
     "render",
     "render_radiance",
 ]

@@ -72,6 +72,16 @@ class MarchConfig:
     escape_radius: float = 120.0
     horizon_factor: float = 1.01
     renormalize_every: int = 16
+    # Pallas kernel: steps between per-tile early-exit checks. Smaller =
+    # tighter tile exits at one more reduce/branch per block.
+    exit_check_every: int = 8
+    # jnp path: steps per jax.checkpoint block (SURVEY §7.3-3, the
+    # long-sequence backward treatment). Reverse-mode through the plain
+    # fori_loop saves EVERY step's carry — ~170 MB/step at 1080p, an
+    # instant OOM at 256 steps. With blocks of K, only max_steps/K block
+    # boundaries are saved and the interior recomputes in the backward
+    # sweep (one extra forward pass of compute). 0 disables (full history).
+    remat_every: int = 32
     max_crossings: int = 4           # K recorded equator crossings per ray
     record_r_min: float = 1.0        # crossing radial window (disk extent)
     record_r_max: float = 30.0
@@ -80,6 +90,17 @@ class MarchConfig:
     # reciprocal (pl.reciprocal(approx=True)). The periodic null
     # renormalization (exact math) absorbs the truncation.
     approx_recip: bool = False
+    # Shadow-interior pre-cull (render/precull.py): provably-captured rays
+    # (exact Bardeen critical-curve test on the conserved (lambda, eta), the
+    # principled form of fragment.glsl.ts:118-127's b < 0.9 r_h cull) get a
+    # raised per-ray termination radius instead of creeping to 1.01 r_h.
+    shadow_precull: bool = False
+    # With the disk on, culled rays still march (their foreground disk
+    # crossings are real) but stop at the ISCO: a captured ray's r is
+    # monotone decreasing (rootless radial potential), so no visible
+    # crossing (needs r > ISCO) can follow. With it off, culled rays die at
+    # step 0.
+    precull_keep_disk: bool = True
     # Tile-resident Pallas kernel (ops/pallas_march.py): ~VMEM-resident march
     # with per-tile early exit. Forward-only — the jnp path keeps the VJP —
     # and incompatible with in-loop jet accumulation.
@@ -96,7 +117,7 @@ HIT_ESCAPE = 2
     jax.tree_util.register_dataclass,
     data_fields=[
         "state", "hit", "steps", "cross_r", "cross_phi", "cross_t",
-        "n_crossings", "jet_radiance",
+        "n_crossings", "jet_radiance", "r_min_ph",
     ],
     meta_fields=[],
 )
@@ -110,6 +131,9 @@ class MarchResult:
     cross_t: jnp.ndarray      # (N, K) crossing coordinate times
     n_crossings: jnp.ndarray  # (N,) number of recorded crossings
     jet_radiance: jnp.ndarray # (N, 3) accumulated optically-thin jet emission
+    r_min_ph: jnp.ndarray     # (N,) min |r - r_ph| reached during the march
+                              # (the reference's photon-ring proximity,
+                              # fragment.glsl.ts:198-200, recorded not guessed)
 
 
 def adaptive_dlam(r, r_h, r_ph, cfg: MarchConfig, dtype):
@@ -151,14 +175,30 @@ def march(
     horizon_r = cfg.horizon_factor * r_h
     slot_ids = jnp.arange(k_slots)
 
+    # Per-ray termination radius: horizon_r normally; for pre-culled rays
+    # the ISCO (disk kept) or effectively-infinite (instant death).
+    if cfg.shadow_precull:
+        from blackhole_simulation_tpu.render.precull import capture_mask
+
+        dead = capture_mask(m_bh, a_bh, y0)
+        if cfg.precull_keep_disk:
+            stop_r = jnp.maximum(
+                jnp.maximum(bh.isco().astype(dtype), cfg.record_r_min), horizon_r
+            )
+        else:
+            stop_r = jnp.asarray(1e9, dtype)
+        thr = jnp.where(dead, stop_r, horizon_r)
+    else:
+        thr = jnp.broadcast_to(jnp.asarray(horizon_r, dtype), (n,))
+
     yt0 = ks_renormalize_u(m_bh, a_bh, theta_state_to_u(y0.T))
 
     if cfg.use_pallas and jets is None:
         from blackhole_simulation_tpu.ops.pallas_march import pallas_march_u
 
         interpret = jax.default_backend() != "tpu"
-        yt, hit, steps, cr, cp, ct, ncross = pallas_march_u(
-            yt0, m_bh, a_bh, r_h, r_ph, cfg, interpret=interpret
+        yt, hit, steps, cr, cp, ct, ncross, rmin = pallas_march_u(
+            yt0, thr, m_bh, a_bh, r_h, r_ph, cfg, interpret=interpret
         )
         return MarchResult(
             state=u_state_to_theta(yt).T,
@@ -169,6 +209,7 @@ def march(
             cross_t=ct.T,
             n_crossings=ncross,
             jet_radiance=jnp.zeros((n, 3), dtype=dtype),
+            r_min_ph=rmin,
         )
 
     # The state is carried as 6 separate evolving rows (t, r, u, phi, p_r,
@@ -195,7 +236,7 @@ def march(
     )
 
     def body(i, carry):
-        t, r, u, ph, pr, pu, hit, steps, cr, cp, ct, ncross, jet_rgb = carry
+        t, r, u, ph, pr, pu, hit, steps, cr, cp, ct, ncross, jet_rgb, rmin = carry
         active = hit == HIT_NONE
         t_in = jnp.where(active, t, safe[0])
         r_in = jnp.where(active, r, safe[1])
@@ -289,15 +330,19 @@ def march(
         pr = jnp.where(advance, npr, pr)
         pu = jnp.where(advance, npu, pu)
         steps = steps + advance.astype(jnp.int32)
+        # Photon-ring proximity record (fragment.glsl.ts:198-200): min
+        # |r - r_ph| over the marched path, not a post-hoc heuristic.
+        rmin = jnp.where(advance, jnp.minimum(rmin, jnp.abs(r - r_ph)), rmin)
         hit = jnp.where(active & ~sane, HIT_HORIZON, hit)
 
-        hit = jnp.where(active & (r < horizon_r), HIT_HORIZON, hit)
+        hit = jnp.where(active & (r < thr), HIT_HORIZON, hit)
         hit = jnp.where(active & (r > cfg.escape_radius), HIT_ESCAPE, hit)
-        return t, r, u, ph, pr, pu, hit, steps, cr, cp, ct, ncross, jet_rgb
+        return t, r, u, ph, pr, pu, hit, steps, cr, cp, ct, ncross, jet_rgb, rmin
 
     hit0 = jnp.zeros(n, dtype=jnp.int32)
-    # Rays born inside the horizon terminate immediately.
-    hit0 = jnp.where(r0s < horizon_r, HIT_HORIZON, hit0)
+    # Rays born below their termination radius (inside the horizon, or
+    # pre-culled with the disk off) terminate immediately.
+    hit0 = jnp.where(r0s < thr, HIT_HORIZON, hit0)
     zeros_k = jnp.zeros((k_slots, n), dtype=dtype)
     carry = (
         t0s, r0s, u0s, ph0s, pr0s, pu0s,
@@ -308,9 +353,36 @@ def march(
         zeros_k,
         jnp.zeros(n, dtype=jnp.int32),
         jnp.zeros((3, n), dtype=dtype),
+        jnp.abs(r0s - r_ph),
     )
-    out = jax.lax.fori_loop(0, cfg.max_steps, body, carry)
-    t, r, u, ph, pr, pu, hit, steps, cr, cp, ct, ncross, jet_rgb = out
+    if cfg.remat_every > 0 and cfg.remat_every < cfg.max_steps:
+        # Checkpointed march: scan over blocks of K steps, each block a
+        # rematerialized unit (see remat_every). The step index threads
+        # through as block*K + j so the renorm cadence is unchanged.
+        k_blk = cfg.remat_every
+        n_blk = -(-cfg.max_steps // k_blk)
+
+        exact = cfg.max_steps % k_blk == 0
+
+        @jax.checkpoint
+        def block(c, blk):
+            def inner(j, cc):
+                i = blk * k_blk + j
+                cc2 = body(i, cc)
+                if exact:
+                    return cc2
+                # Non-divisible tail: steps past the budget must be no-ops
+                # for fori-path parity.
+                return jax.tree.map(
+                    lambda a, b: jnp.where(i < cfg.max_steps, a, b), cc2, cc
+                )
+
+            return jax.lax.fori_loop(0, k_blk, inner, c), None
+
+        out, _ = jax.lax.scan(block, carry, jnp.arange(n_blk))
+    else:
+        out = jax.lax.fori_loop(0, cfg.max_steps, body, carry)
+    t, r, u, ph, pr, pu, hit, steps, cr, cp, ct, ncross, jet_rgb, rmin = out
     yt = jnp.stack([t, r, u, ph, pt_c, pr, pu, pph_c], axis=0)
     # Step budget exhausted while still live: closest to a horizon-bound ray
     # (photon-ring orbiters) — classify as horizon like the reference's cap.
@@ -324,4 +396,5 @@ def march(
         cross_t=ct.T,
         n_crossings=ncross,
         jet_radiance=jet_rgb.T,
+        r_min_ph=rmin,
     )

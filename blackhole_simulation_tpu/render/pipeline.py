@@ -47,6 +47,11 @@ class Features:
     starfield: bool = True
     photon_ring_glow: bool = True
     jets: bool = False  # requires disk (the ShaderManager rule, manager.ts:57-73)
+    # Physics-LUT shading chain: Page-Thorne T(r) + Planck/CIE blackbody
+    # lookups (render/shading.build_disk_luts) instead of the analytic
+    # NT-shape + Tanner-Helland ramp — the reference's disk/spectrum LUT
+    # textures (disk.rs:175-201, spectrum.rs:76-102, renderer.ts:433-464).
+    spectral_lut: bool = False
 
     def __post_init__(self):
         if self.jets and not self.disk:
@@ -107,7 +112,8 @@ def shade_sample(
     escaped = result.hit == HIT_ESCAPE
     if scene.features.disk:
         rgb, trans = shade_disk_crossings(
-            result, bh, scene.disk, y0, dtype, density_scale, intensity_scale
+            result, bh, scene.disk, y0, dtype, density_scale, intensity_scale,
+            spectral=scene.features.spectral_lut,
         )
     else:
         rgb = jnp.zeros(result.hit.shape + (3,), dtype=dtype)
@@ -133,17 +139,24 @@ def shade_sample(
         rgb = rgb + result.jet_radiance
 
     if scene.features.photon_ring_glow:
-        # e^{-k |r_min - r_ph|} glow on rays that skim the photon sphere
-        # (fragment.glsl.ts:246-257) — approximated by step count: orbiters
-        # burn many steps near r_ph.
+        # Photon-ring glow from the RECORDED march minimum of |r - r_ph|
+        # (fragment.glsl.ts:198-200, 246-257): e^{-k d_min} on ESCAPING rays
+        # only — captured rays are blacked out by the horizon exactly as the
+        # reference's horizon blackout (fragment.glsl.ts:270-274), so the
+        # ring is the thin bright band of near-critical winding rays, not an
+        # interior haze. Higher-order rings tint by the recorded crossing
+        # count (the reference's photon-crossing counter).
         r_ph = bh.photon_sphere().astype(dtype)
-        near = jnp.exp(
-            -6.0 * jnp.abs(result.state[..., 1] - r_ph) / jnp.maximum(r_ph, 1e-3)
-        )
-        orbit_frac = result.steps.astype(dtype) / scene.march_cfg.max_steps
-        glow = 0.35 * near * orbit_frac**2
+        near = jnp.exp(-14.0 * result.r_min_ph / jnp.maximum(r_ph, 1e-3))
+        glow = jnp.where(escaped, 0.6 * near, 0.0)
+        # Ring-order tint: direct image warm, higher orders shift cool (the
+        # reference's crossing-order ring coloring) — blended arithmetically
+        # (a per-ray table gather is a 2M-lane dynamic gather on TPU).
+        order = jnp.clip(result.n_crossings, 0, 3).astype(dtype)[..., None]
         warm = jnp.array([1.0, 0.82, 0.55], dtype=dtype)
-        rgb = rgb + glow[..., None] * warm
+        cool = jnp.array([0.82, 0.88, 1.0], dtype=dtype)
+        tint = warm + (order / 3.0) * (cool - warm)
+        rgb = rgb + glow[..., None] * tint
     return rgb
 
 
@@ -156,9 +169,20 @@ def render_sample(scene: Scene, jitter, dtype=jnp.float32) -> jnp.ndarray:
     )
     rays = camera_rays(scene.camera, bh, jitter=jitter, dtype=dtype)
     jets = scene.jet_params if scene.features.jets else None
+    cfg = scene.march_cfg
+    if cfg.shadow_precull:
+        # Jets accumulate per-step emission all the way to the horizon, so
+        # early-stopping culled rays would lose real radiance; the disk
+        # feature decides whether culled rays must keep marching to the
+        # ISCO for their foreground crossings (see MarchConfig).
+        cfg = dataclasses.replace(
+            cfg,
+            shadow_precull=not scene.features.jets,
+            precull_keep_disk=scene.features.disk,
+        )
     # Mirror march()'s own dispatch: it falls back to the jnp path when jets
     # are enabled, so only reorder when the Pallas kernel actually runs.
-    if scene.march_cfg.use_pallas and jets is None:
+    if cfg.use_pallas and jets is None:
         # March in pixel-block order so the kernel's per-tile early exit
         # fires on spatially coherent sky/shadow tiles, then restore
         # row-major order for shading (reshape/transpose copies, no gathers).
@@ -168,10 +192,10 @@ def render_sample(scene: Scene, jitter, dtype=jnp.float32) -> jnp.ndarray:
         )
 
         h, w = scene.camera.height, scene.camera.width
-        result = march(to_block_order(rays, h, w), bh, scene.march_cfg, jets=jets)
+        result = march(to_block_order(rays, h, w), bh, cfg, jets=jets)
         result = jax.tree.map(lambda x: from_block_order(x, h, w), result)
     else:
-        result = march(rays, bh, scene.march_cfg, jets=jets)
+        result = march(rays, bh, cfg, jets=jets)
     return shade_sample(result, bh, scene, dtype, rays)
 
 
@@ -206,4 +230,26 @@ def render_radiance(scene: Scene, dtype=jnp.float32) -> jnp.ndarray:
     target used by inverse rendering and oracle validation."""
     cam = scene.camera
     acc = render_sample(scene, None, dtype)
+    return acc.reshape(cam.height, cam.width, 3)
+
+
+@jax.jit
+def oracle_render(scene: Scene) -> jnp.ndarray:
+    """f64 oracle radiance (H, W, 3): the adaptive-RKF45 reference
+    integrator (geodesic/oracle.py, mirroring gravitas-core
+    geodesic/mod.rs:180-253) driving the SAME shading code as the fast
+    path. The BASELINE correctness gate compares render_radiance against
+    this (tests/test_oracle_gate.py)."""
+    from blackhole_simulation_tpu.geodesic.oracle import oracle_march
+
+    dtype = jnp.float64
+    bh = Kerr(
+        mass=scene.bh.mass.astype(dtype),
+        spin=scene.bh.spin.astype(dtype),
+        chart=KS,
+    )
+    cam = scene.camera
+    rays = camera_rays(cam, bh, dtype=dtype)
+    result = oracle_march(rays, bh, scene.march_cfg)
+    acc = shade_sample(result, bh, scene, dtype, rays)
     return acc.reshape(cam.height, cam.width, 3)

@@ -244,6 +244,122 @@ def disk_emission(
     return rgb, alpha, valid
 
 
+# ---------------------------------------------------------------------------
+# Physics-LUT shading chain (disk.rs:175-201 + spectrum.rs:76-102 parity)
+# ---------------------------------------------------------------------------
+
+def build_disk_luts(bh: Kerr, disk: DiskParams, dtype=jnp.float32,
+                    n_r: int = 256, n_t: int = 128, n_g: int = 48):
+    """Generate the two renderer LUTs in-graph, differentiably.
+
+    1. Page-Thorne temperature shape T(r)/T_peak on a log-r grid from the
+       ISCO to the disk edge (physics/disk.py page_thorne_flux — the exact
+       relativistic flux with the no-torque ISCO boundary, disk.rs:90-170),
+       replacing the Novikov-Thorne zero-torque approximation of the
+       analytic path.
+    2. Planck/CIE blackbody chromaticity over observed temperature
+       (physics/spectrum.py integrate_planck_xyz -> linear sRGB,
+       spectrum.rs:23-70), replacing the Tanner-Helland fit. The reference
+       uploads these as GPU textures (webgl/renderer.ts:433-464,
+       spectral.ts:13-34); here they are device arrays and the LOOKUP is
+       differentiable linear interpolation, so disk-parameter and spin
+       gradients flow through the chain (BASELINE configs[3] needs
+       d/d(disk)).
+
+    Returns (r_grid, t_shape, t_axis, rgb_table): the 2-D g-dependence is
+    folded at lookup time (observed T = g * T_emit, intensity g^4 exactly
+    — Liouville; spectrum.rs applies the same fold when building its 2-D
+    texture, so a 1-D chromaticity axis loses nothing).
+    """
+    from blackhole_simulation_tpu.physics.disk import page_thorne_flux
+
+    m64 = bh.mass.astype(jnp.float64)
+    a64 = bh.spin.astype(jnp.float64)
+    r_in = Kerr(mass=m64, spin=a64).isco()
+    r_grid = r_in * (disk.outer_radius / r_in) ** jnp.linspace(0.0, 1.0, n_r)
+    flux = page_thorne_flux(r_grid, m64, a64, n_grid=n_r)
+    t_raw = jnp.maximum(flux, 0.0) ** 0.25
+    t_shape = (t_raw / jnp.maximum(jnp.max(t_raw), 1e-30)).astype(dtype)
+
+    from blackhole_simulation_tpu.physics.spectrum import blackbody_rgb
+
+    # Observed-temperature axis with the reference's ^2.5 warp
+    # (spectrum.rs:84): dense where blackbody color changes fastest. Floor
+    # ~900 K: below that the visible-band Planck integral underflows and
+    # the chromaticity normalization is meaningless.
+    t_axis = 900.0 + (4e4 - 900.0) * jnp.linspace(0.0, 1.0, n_t) ** 2.5
+    rgb_table = blackbody_rgb(t_axis).astype(dtype)
+    return r_grid.astype(dtype), t_shape, t_axis.astype(dtype), rgb_table
+
+
+def disk_emission_lut(
+    disk: DiskParams,
+    bh: Kerr,
+    luts,
+    r_c,
+    phi_c,
+    t_c,
+    lam,
+    dtype=jnp.float32,
+    density_scale=1.0,
+    intensity_scale=1.0,
+):
+    """LUT twin of disk_emission: Page-Thorne T(r) + Planck/CIE color.
+
+    Identical geometry/turbulence/opacity to the analytic path; only the
+    temperature profile and the color come from the LUTs. Liouville
+    intensity is exactly g^4 (cf. DiskParams.beaming_exponent for the
+    analytic path's knob).
+    """
+    m = bh.mass.astype(dtype)
+    a = bh.spin.astype(dtype)
+    r_in = bh.isco().astype(dtype)
+    r_grid, t_shape_tab, t_axis, rgb_table = luts
+
+    valid = (r_c > r_in) & (r_c < disk.outer_radius)
+    r_c = jnp.where(valid, r_c, r_in * 2.0)
+    phi_c = jnp.where(valid, phi_c, 0.0)
+    t_c = jnp.where(valid, t_c, 0.0)
+
+    g = equatorial_g_factor(m, a, jnp.maximum(r_c, r_in), lam, dtype)
+    g = jnp.clip(g, 0.05, 5.0)  # the LUT g-range (spectrum.rs:76-102)
+
+    # Differentiable 1-D interp of the Page-Thorne shape at the crossing
+    # radius (gradients flow into r_c and, through the table values, spin).
+    t_shape = jnp.interp(r_c, r_grid, t_shape_tab)
+    t_obs = jnp.clip(g * t_shape * disk.t_peak, t_axis[0], t_axis[-1])
+
+    # Differentiable lookup of the Planck/CIE chromaticity at observed T.
+    idx = jnp.searchsorted(t_axis, t_obs, side="right") - 1
+    idx = jnp.clip(idx, 0, t_axis.shape[0] - 2)
+    t0 = t_axis[idx]
+    t1 = t_axis[idx + 1]
+    w1 = jnp.clip((t_obs - t0) / jnp.maximum(t1 - t0, 1e-3), 0.0, 1.0)
+    color = (
+        rgb_table[idx] * (1.0 - w1)[..., None] + rgb_table[idx + 1] * w1[..., None]
+    ).astype(dtype)
+
+    rk = jnp.maximum(r_c, r_in)
+    omega_k = jnp.sqrt(m) / (rk * jnp.sqrt(rk) + a * jnp.sqrt(m))
+    phase = phi_c - omega_k * t_c
+    phase = jnp.mod(phase, 2.0 * jnp.pi)
+    noise = fbm2(r_c * 1.7, phase * 3.0, octaves=3).astype(dtype)
+    turb = 1.0 - disk.turbulence + disk.turbulence * (0.4 + 1.2 * noise)
+
+    inner = jnp.clip((r_c - r_in) / (disk.inner_edge_softness * r_in + 1e-6), 0.0, 1.0)
+    edge = _smooth(inner) * jnp.clip(
+        (disk.outer_radius - r_c) / (0.15 * disk.outer_radius), 0.0, 1.0
+    )
+    alpha = jnp.clip(disk.density * density_scale * edge * turb, 0.0, 1.0)
+    alpha = jnp.where(valid, alpha, 0.0).astype(dtype)
+
+    # Liouville invariant: I_obs ~ g^4 T^4 (optically thick), with the
+    # emitted-T^4 weight from the Page-Thorne profile.
+    intensity = _powi(g, 4.0) * t_shape**4 * intensity_scale
+    rgb = jnp.where(valid[..., None], color * intensity[..., None], 0.0)
+    return rgb, alpha, valid
+
+
 def shade_disk_crossings(
     result,
     bh: Kerr,
@@ -252,11 +368,15 @@ def shade_disk_crossings(
     dtype=jnp.float32,
     density_scale=1.0,
     intensity_scale=1.0,
+    spectral: bool = False,
 ):
     """Composite the K recorded crossings front-to-back: (rgb, transmittance).
 
     Crossing slots fill in march order, so slot 0 is nearest the camera;
-    standard alpha-over accumulation (chunks/disk.ts:108-111).
+    standard alpha-over accumulation (chunks/disk.ts:108-111). With
+    ``spectral`` the Page-Thorne + Planck/CIE LUT chain shades each
+    crossing (build_disk_luts) instead of the analytic NT + Tanner-Helland
+    ramp.
     """
     # Conserved impact parameter lambda = L_z/E = -p_phi/p_t from the
     # *initial* state (exactly conserved along the ray).
@@ -264,19 +384,34 @@ def shade_disk_crossings(
     n, k_slots = result.cross_r.shape
     rgb = jnp.zeros((n, 3), dtype=dtype)
     trans = jnp.ones((n,), dtype=dtype)
+    luts = build_disk_luts(bh, disk, dtype) if spectral else None
     for k in range(k_slots):
         filled = k < result.n_crossings
-        c_rgb, c_alpha, valid = disk_emission(
-            disk,
-            bh,
-            result.cross_r[:, k],
-            result.cross_phi[:, k],
-            result.cross_t[:, k],
-            lam,
-            dtype,
-            density_scale,
-            intensity_scale,
-        )
+        if spectral:
+            c_rgb, c_alpha, valid = disk_emission_lut(
+                disk,
+                bh,
+                luts,
+                result.cross_r[:, k],
+                result.cross_phi[:, k],
+                result.cross_t[:, k],
+                lam,
+                dtype,
+                density_scale,
+                intensity_scale,
+            )
+        else:
+            c_rgb, c_alpha, valid = disk_emission(
+                disk,
+                bh,
+                result.cross_r[:, k],
+                result.cross_phi[:, k],
+                result.cross_t[:, k],
+                lam,
+                dtype,
+                density_scale,
+                intensity_scale,
+            )
         w = jnp.where(filled & valid, trans * c_alpha, 0.0)
         rgb = rgb + w[..., None] * c_rgb
         trans = jnp.where(filled & valid, trans * (1.0 - c_alpha), trans)

@@ -42,7 +42,8 @@ def _march_pair(a, cfg, cam=None):
     return res_j, res_p
 
 
-def _assert_statistical_parity(res_j, res_p, min_clean=0.995, q99_rel=1e-3):
+def _assert_statistical_parity(res_j, res_p, min_clean=0.995, q99_rel=1e-3,
+                               outlier_rel=1e-1, max_outlier_frac=0.005):
     hj, hp = np.asarray(res_j.hit), np.asarray(res_p.hit)
     stj, stp = np.asarray(res_j.steps), np.asarray(res_p.steps)
     ncj, ncp = np.asarray(res_j.n_crossings), np.asarray(res_p.n_crossings)
@@ -55,14 +56,28 @@ def _assert_statistical_parity(res_j, res_p, min_clean=0.995, q99_rel=1e-3):
     assert np.quantile(rel, 0.99) <= q99_rel, (
         f"state q99 rel diff {np.quantile(rel, 0.99):.2e} on clean rays"
     )
-    cj, cp_ = np.asarray(res_j.cross_r), np.asarray(res_p.cross_r)
-    crel = (np.abs(cj - cp_) / (np.abs(cj) + 1.0))[clean]
-    assert np.quantile(crel, 0.99) <= q99_rel, (
-        f"cross_r q99 rel diff {np.quantile(crel, 0.99):.2e} on clean rays"
+    # Outlier-fraction bound on ALL clean rays (ADVICE r2): the q99 alone
+    # leaves the worst 1% unbounded; a bug corrupting ~1.5% of rays must not
+    # hide inside the quantile + discrete-mismatch allowances.
+    assert (rel > outlier_rel).mean() <= max_outlier_frac, (
+        f"{(rel > outlier_rel).mean():.4f} of clean-ray state entries exceed "
+        f"rel {outlier_rel}"
     )
+    # Same two-tier check on every crossing record (ADVICE r2: cross_phi /
+    # cross_t interpolation bugs were only covered at the 16-step horizon).
+    for name in ("cross_r", "cross_phi", "cross_t"):
+        cj = np.asarray(getattr(res_j, name))
+        cp_ = np.asarray(getattr(res_p, name))
+        crel = (np.abs(cj - cp_) / (np.abs(cj) + 1.0))[clean]
+        assert np.quantile(crel, 0.99) <= q99_rel, (
+            f"{name} q99 rel diff {np.quantile(crel, 0.99):.2e} on clean rays"
+        )
+        assert (crel > outlier_rel).mean() <= max_outlier_frac, (
+            f"{name}: {(crel > outlier_rel).mean():.4f} outlier fraction"
+        )
 
 
-@pytest.mark.parametrize("a", [0.0, 0.999])
+@pytest.mark.parametrize("a", [0.0, 0.9, 0.999])
 def test_pallas_march_matches_jnp_short_horizon(a):
     """One full renormalization period: both paths must agree to float
     round-off (atol 1e-4 absorbs few-ulp FMA-contraction noise between the

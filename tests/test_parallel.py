@@ -48,6 +48,37 @@ class TestShardedRender:
         assert img.shape == (11, 30, 3)
         assert np.all(np.isfinite(img))
 
+    def test_sharded_supersampling_matches_single_device(self):
+        """Feature parity (VERDICT r2 item 8): n_samples accumulates inside
+        the sharded program and matches the single-device supersampled
+        render within the fp32 reduction tolerance."""
+        scene = small_scene()
+        mesh = make_mesh(8)
+        img_sharded = np.asarray(render_sharded(scene, mesh, n_samples=3))
+        img_single = np.asarray(render(scene, n_samples=3))
+        diff = np.abs(img_sharded - img_single).max(axis=2)
+        assert (diff < 5e-4).mean() > 0.995
+        assert diff.max() < 5e-2
+
+    def test_sharded_pallas_path_runs(self):
+        """The Pallas kernel (interpret mode on CPU) inside shard_map:
+        whole tiles per shard, block order restored after the gather."""
+        import dataclasses as dc
+
+        from blackhole_simulation_tpu.render import MarchConfig
+
+        scene = small_scene(width=16, height=8)
+        scene = dc.replace(
+            scene, march_cfg=MarchConfig(max_steps=24, use_pallas=True)
+        )
+        scene_j = dc.replace(scene, march_cfg=MarchConfig(max_steps=24))
+        mesh = make_mesh(8)
+        img_p = np.asarray(render_sharded(scene, mesh))
+        img_j = np.asarray(render_sharded(scene_j, mesh))
+        assert np.all(np.isfinite(img_p))
+        diff = np.abs(img_p - img_j).max(axis=2)
+        assert (diff < 5e-4).mean() > 0.99
+
 
 class TestInverseStep:
     def test_sharded_step_matches_unsharded(self):
