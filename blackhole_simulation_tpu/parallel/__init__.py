@@ -23,6 +23,8 @@ from blackhole_simulation_tpu.parallel.train import (
     InverseParams,
     init_opt_state,
     make_inverse_step,
+    make_fd_inverse_step,
+    fd_inverse_render,
     inverse_render,
 )
 
@@ -37,5 +39,7 @@ __all__ = [
     "InverseParams",
     "init_opt_state",
     "make_inverse_step",
+    "make_fd_inverse_step",
+    "fd_inverse_render",
     "inverse_render",
 ]

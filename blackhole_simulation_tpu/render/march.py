@@ -101,6 +101,17 @@ class MarchConfig:
     # crossing (needs r > ISCO) can follow. With it off, culled rays die at
     # step 0.
     precull_keep_disk: bool = True
+    # Per-step reverse-mode cotangent clip (per-ray norm over the 6 evolving
+    # state rows). Near-critical photon-ring rays are chaotic: their
+    # state-to-state Jacobian grows ~e^{lam_L * n_steps}, so d(pixel)/d(spin)
+    # through the full march reaches 1e5-1e6 with effectively random sign
+    # (measured: d(loss)/d(spin) = -4.3e5 at a=0.921 against a target at
+    # 0.85 — pointing AWAY from the basin — while the loss itself is smooth
+    # and monotone). Clipping the carry's cotangent norm once per step (the
+    # BPTT gradient-clipping trick) bounds every ray's contribution, so the
+    # ~99% well-behaved pixels dominate the aggregate gradient. 0 = off
+    # (exact VJP — the oracle gradient gate uses that path).
+    cotangent_clip: float = 0.0
     # Tile-resident Pallas kernel (ops/pallas_march.py): ~VMEM-resident march
     # with per-tile early exit. Forward-only — the jnp path keeps the VJP —
     # and incompatible with in-loop jet accumulation.
@@ -111,6 +122,31 @@ class MarchConfig:
 HIT_NONE = 0
 HIT_HORIZON = 1
 HIT_ESCAPE = 2
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def clip_cotangent(x, limit: float):
+    """Identity forward; reverse pass clips the per-ray cotangent norm.
+
+    ``x``: (6, N) stacked evolving state rows. The backward pass rescales
+    each ray's 6-component cotangent to norm <= limit — applied once per
+    march step it prevents the exponential adjoint blowup of chaotic
+    near-critical rays (see MarchConfig.cotangent_clip).
+    """
+    return x
+
+
+def _clip_cot_fwd(x, limit: float):
+    return x, None
+
+
+def _clip_cot_bwd(limit: float, _res, g):
+    norm = jnp.sqrt(jnp.sum(g * g, axis=0, keepdims=True))
+    scale = jnp.minimum(1.0, limit / jnp.maximum(norm, 1e-30))
+    return (g * scale,)
+
+
+clip_cotangent.defvjp(_clip_cot_fwd, _clip_cot_bwd)
 
 
 @partial(
@@ -337,6 +373,12 @@ def march(
 
         hit = jnp.where(active & (r < thr), HIT_HORIZON, hit)
         hit = jnp.where(active & (r > cfg.escape_radius), HIT_ESCAPE, hit)
+        if cfg.cotangent_clip > 0.0:
+            # Bound the adjoint ONCE per step (identity in the forward pass;
+            # XLA folds the stack/unstack). See MarchConfig.cotangent_clip.
+            t, r, u, ph, pr, pu = clip_cotangent(
+                jnp.stack([t, r, u, ph, pr, pu]), cfg.cotangent_clip
+            )
         return t, r, u, ph, pr, pu, hit, steps, cr, cp, ct, ncross, jet_rgb, rmin
 
     hit0 = jnp.zeros(n, dtype=jnp.int32)

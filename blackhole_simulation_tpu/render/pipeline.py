@@ -31,9 +31,9 @@ from blackhole_simulation_tpu.render.shading import (
     DiskParams,
     JetParams,
     StarfieldParams,
-    escape_direction,
+    escape_direction_rows,
     shade_disk_crossings,
-    starfield,
+    starfield_rows,
 )
 
 
@@ -52,6 +52,10 @@ class Features:
     # NT-shape + Tanner-Helland ramp — the reference's disk/spectrum LUT
     # textures (disk.rs:175-201, spectrum.rs:76-102, renderer.ts:433-464).
     spectral_lut: bool = False
+    # Debug overlay: composite the analytic Bardeen critical curve over the
+    # marched image (render/overlay.py), the reference's u_shadowCurve
+    # distance-to-polyline overlay (fragment.glsl.ts:279-325).
+    shadow_overlay: bool = False
 
     def __post_init__(self):
         if self.jets and not self.disk:
@@ -99,7 +103,7 @@ def halton_jitters(n: int):
     )
 
 
-def shade_sample(
+def shade_sample_rows(
     result: MarchResult,
     bh: Kerr,
     scene: Scene,
@@ -107,36 +111,49 @@ def shade_sample(
     y0: jnp.ndarray,
     density_scale=1.0,
     intensity_scale=1.0,
-) -> jnp.ndarray:
-    """Compose one sub-sample's (N, 3) radiance from a march result."""
+):
+    """Compose one sub-sample's radiance as (r, g, b) channel rows.
+
+    All composition runs on (N,) channel rows (shading.blackbody_ramp_rows
+    rationale: (N, 3)/(N, 8)-minor layouts run at 3/128 lane occupancy on
+    TPU); callers stack to (N, 3) once at the end — after any pixel
+    reordering, so block-order renders reorder 3 rows instead of the whole
+    MarchResult.
+    """
     escaped = result.hit == HIT_ESCAPE
+    n = result.hit.shape[0]
     if scene.features.disk:
         rgb, trans = shade_disk_crossings(
             result, bh, scene.disk, y0, dtype, density_scale, intensity_scale,
             spectral=scene.features.spectral_lut,
         )
     else:
-        rgb = jnp.zeros(result.hit.shape + (3,), dtype=dtype)
-        trans = jnp.ones(result.hit.shape, dtype=dtype)
+        rgb = tuple(jnp.zeros((n,), dtype=dtype) for _ in range(3))
+        trans = jnp.ones((n,), dtype=dtype)
 
     if scene.features.starfield:
         # Evaluate the background only from escaped-ray states; captured rays
         # get a fixed dummy far-field state so no garbage (or NaN gradient)
         # flows through the masked-out lanes (0 * NaN poisons both passes).
-        dummy = jnp.array([0.0, 100.0, 1.5707964, 0.0, -1.0, -1.0, 0.0, 0.0], dtype)
-        safe_state = jnp.where(escaped[..., None], result.state, dummy)
-        d = escape_direction(safe_state, bh)
-        bg = starfield(d, scene.stars)
-    else:
-        bg = jnp.zeros_like(rgb)
-    # Background shows through remaining transmittance on escaped rays only;
-    # captured rays keep the horizon black behind any foreground disk
-    # (fragment.glsl.ts:270-274).
-    rgb = rgb + jnp.where(escaped, trans, 0.0)[..., None] * bg
+        # state.T is the march's native row layout (XLA cancels the double
+        # transpose); the dummy substitution happens per row.
+        dummy = (0.0, 100.0, 1.5707964, 0.0, -1.0, -1.0, 0.0, 0.0)
+        st = result.state.T
+        rows = tuple(
+            jnp.where(escaped, st[i], jnp.asarray(dummy[i], dtype))
+            for i in range(8)
+        )
+        bg = starfield_rows(*escape_direction_rows(rows, bh), params=scene.stars)
+        # Background shows through remaining transmittance on escaped rays
+        # only; captured rays keep the horizon black behind any foreground
+        # disk (fragment.glsl.ts:270-274).
+        w_bg = jnp.where(escaped, trans, 0.0)
+        rgb = tuple(c + w_bg * b for c, b in zip(rgb, bg))
 
     if scene.features.jets:
         # Optically-thin jets: additive on top (chunks/disk.ts:117-155).
-        rgb = rgb + result.jet_radiance
+        jt = result.jet_radiance.T  # (3, N) march-native rows
+        rgb = tuple(c + jt[i] for i, c in enumerate(rgb))
 
     if scene.features.photon_ring_glow:
         # Photon-ring glow from the RECORDED march minimum of |r - r_ph|
@@ -152,12 +169,23 @@ def shade_sample(
         # Ring-order tint: direct image warm, higher orders shift cool (the
         # reference's crossing-order ring coloring) — blended arithmetically
         # (a per-ray table gather is a 2M-lane dynamic gather on TPU).
-        order = jnp.clip(result.n_crossings, 0, 3).astype(dtype)[..., None]
-        warm = jnp.array([1.0, 0.82, 0.55], dtype=dtype)
-        cool = jnp.array([0.82, 0.88, 1.0], dtype=dtype)
-        tint = warm + (order / 3.0) * (cool - warm)
-        rgb = rgb + glow[..., None] * tint
+        order = jnp.clip(result.n_crossings, 0, 3).astype(dtype) / 3.0
+        warm = (1.0, 0.82, 0.55)
+        cool = (0.82, 0.88, 1.0)
+        rgb = tuple(
+            c + glow * (w + order * (k - w))
+            for c, w, k in zip(rgb, warm, cool)
+        )
     return rgb
+
+
+def shade_sample(result, bh, scene, dtype, y0, density_scale=1.0,
+                 intensity_scale=1.0) -> jnp.ndarray:
+    """(N, 3) convenience wrapper over shade_sample_rows."""
+    rgb = shade_sample_rows(
+        result, bh, scene, dtype, y0, density_scale, intensity_scale
+    )
+    return jnp.stack(rgb, axis=-1)
 
 
 def render_sample(scene: Scene, jitter, dtype=jnp.float32) -> jnp.ndarray:
@@ -183,19 +211,22 @@ def render_sample(scene: Scene, jitter, dtype=jnp.float32) -> jnp.ndarray:
     # Mirror march()'s own dispatch: it falls back to the jnp path when jets
     # are enabled, so only reorder when the Pallas kernel actually runs.
     if cfg.use_pallas and jets is None:
-        # March in pixel-block order so the kernel's per-tile early exit
-        # fires on spatially coherent sky/shadow tiles, then restore
-        # row-major order for shading (reshape/transpose copies, no gathers).
+        # March AND shade in pixel-block order (shading is pure per-ray, so
+        # order is irrelevant), then restore row-major order for just the 3
+        # radiance rows — reordering the full MarchResult (state, crossing
+        # records, ...) cost ~5 ms/frame of copies at 1080p.
         from blackhole_simulation_tpu.ops.pallas_march import (
             from_block_order,
             to_block_order,
         )
 
         h, w = scene.camera.height, scene.camera.width
-        result = march(to_block_order(rays, h, w), bh, cfg, jets=jets)
-        result = jax.tree.map(lambda x: from_block_order(x, h, w), result)
-    else:
-        result = march(rays, bh, cfg, jets=jets)
+        rays_b = to_block_order(rays, h, w)
+        result = march(rays_b, bh, cfg, jets=jets)
+        rgb = shade_sample_rows(result, bh, scene, dtype, rays_b)
+        rgb = tuple(from_block_order(c, h, w) for c in rgb)
+        return jnp.stack(rgb, axis=-1)
+    result = march(rays, bh, cfg, jets=jets)
     return shade_sample(result, bh, scene, dtype, rays)
 
 
@@ -219,6 +250,25 @@ def render(scene: Scene, n_samples: int = 1, dtype=jnp.float32) -> jnp.ndarray:
         init = jnp.zeros((cam.width * cam.height, 3), dtype=dtype)
         acc, _ = jax.lax.scan(body, init, jitters)
         acc = acc / n_samples
+
+    if scene.features.shadow_overlay:
+        # Analytic Bardeen curve over the marched image, blended before tone
+        # mapping exactly as the reference does (fragment.glsl.ts:279-331).
+        # The overlay is geometric (jitter-independent): computed once from
+        # the unjittered center rays.
+        from blackhole_simulation_tpu.render.overlay import shadow_overlay
+
+        bh = Kerr(
+            mass=scene.bh.mass.astype(dtype),
+            spin=scene.bh.spin.astype(dtype),
+            chart=KS,
+        )
+        rays0 = camera_rays(cam, bh, dtype=dtype)
+        # ~1.5 pixels of impact parameter (b ~ r0 * angle), floored at
+        # 0.06 M so the line stays thin at high resolution.
+        pix_b = (cam.fov / cam.height * cam.r).astype(dtype)
+        width = jnp.maximum(0.06 * bh.mass.astype(dtype), 1.5 * pix_b)
+        acc = shadow_overlay(acc, rays0, bh, cam.theta, dtype, line_width=width)
 
     img = acc.reshape(cam.height, cam.width, 3)
     return tonemap(img, scene.post)

@@ -29,29 +29,38 @@ from blackhole_simulation_tpu.geometry.metrics import Kerr
 
 
 # ---------------------------------------------------------------------------
-# Integer hash noise (chunks/noise.ts parity, PCG-style instead of fract(sin))
+# Lattice hash noise (chunks/noise.ts parity). Fractional-arithmetic hash
+# (Hoskins-style "hash without sine"): all f32 FMAs, zero transcendentals,
+# zero integer multiplies — a u32 VPU multiply costs ~25x an f32 FMA on TPU
+# (measured 0.042 ms vs ~0.002 ms per 1080p application), and the earlier
+# PCG-style mix spent ~200 u32 multiplies per ray across the disk/nebula
+# fbm chain ≈ 6 ms/frame of pure hashing.
 # ---------------------------------------------------------------------------
 
-def _pcg(v: jnp.ndarray) -> jnp.ndarray:
-    """PCG-ish uint32 mix; v: uint32 array -> uint32 array."""
-    v = v * jnp.uint32(747796405) + jnp.uint32(2891336453)
-    v = ((v >> jnp.uint32(((v >> 28) + 4) & 31)) ^ v) * jnp.uint32(277803737)
-    return (v >> 22) ^ v
+def _fract(x):
+    return x - jnp.floor(x)
+
 
 def hash21(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     """2-D lattice hash -> float in [0, 1)."""
-    xi = x.astype(jnp.int32).astype(jnp.uint32)
-    yi = y.astype(jnp.int32).astype(jnp.uint32)
-    h = _pcg(xi ^ _pcg(yi))
-    return (h >> 8).astype(jnp.float32) / jnp.float32(1 << 24)
+    x = jnp.asarray(x, jnp.float32)
+    y = jnp.asarray(y, jnp.float32)
+    px = _fract(x * 0.1031)
+    py = _fract(y * 0.1030)
+    pz = _fract((x + y) * 0.0973)
+    d = px * (py + 33.33) + py * (pz + 33.33) + pz * (px + 33.33)
+    return _fract((px + py + 2.0 * d) * (pz + d))
 
 
 def hash31(x: jnp.ndarray, y: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
-    xi = x.astype(jnp.int32).astype(jnp.uint32)
-    yi = y.astype(jnp.int32).astype(jnp.uint32)
-    zi = z.astype(jnp.int32).astype(jnp.uint32)
-    h = _pcg(xi ^ _pcg(yi ^ _pcg(zi)))
-    return (h >> 8).astype(jnp.float32) / jnp.float32(1 << 24)
+    x = jnp.asarray(x, jnp.float32)
+    y = jnp.asarray(y, jnp.float32)
+    z = jnp.asarray(z, jnp.float32)
+    px = _fract(x * 0.1031)
+    py = _fract(y * 0.1030)
+    pz = _fract(z * 0.0973)
+    d = px * (py + 33.33) + py * (pz + 33.33) + pz * (px + 33.33)
+    return _fract((px + py + 2.0 * d) * (pz + d))
 
 
 def _smooth(t):
@@ -113,10 +122,16 @@ def fbm2(x, y, octaves: int = 4):
 # Blackbody color ramp (chunks/blackbody.ts parity)
 # ---------------------------------------------------------------------------
 
-def blackbody_ramp(t_kelvin):
-    """Analytic blackbody T -> linear RGB (Tanner-Helland-style fit domain
-    1000K-40000K), vectorized; chromaticity only (intensity handled by the
-    caller via g^4 / T^4 weights)."""
+def blackbody_ramp_rows(t_kelvin):
+    """Analytic blackbody T -> linear RGB as a (r, g, b) tuple of channel
+    rows (Tanner-Helland-style fit domain 1000K-40000K); chromaticity only
+    (intensity handled by the caller via g^4 / T^4 weights).
+
+    Channel-row ("structure of arrays") form: on TPU a stacked (N, 3) RGB
+    array puts the 3-channel axis in the 128-lane minor dimension — every
+    elementwise op runs at 3/128 lane occupancy. Rows keep full (8, 128)
+    tiles (the r2->r3 shading-path profile showed ~30 ms/frame of exactly
+    these degenerate-layout fusions at 1080p)."""
     t = jnp.clip(jnp.asarray(t_kelvin), 1000.0, 40000.0) / 100.0
     # red
     red = jnp.where(
@@ -129,9 +144,16 @@ def blackbody_ramp(t_kelvin):
     # blue
     b_lo = 138.5177312231 * jnp.log(jnp.maximum(t - 10.0, 1e-6)) - 305.0447927307
     blue = jnp.where(t >= 66.0, 255.0, jnp.where(t <= 19.0, 0.0, b_lo))
-    rgb = jnp.stack([red, green, blue], axis=-1) / 255.0
-    rgb = jnp.clip(rgb, 0.0, 1.0)
-    return rgb * rgb  # sRGB-ish -> linear
+    out = []
+    for c in (red, green, blue):
+        c = jnp.clip(c / 255.0, 0.0, 1.0)
+        out.append(c * c)  # sRGB-ish -> linear
+    return tuple(out)
+
+
+def blackbody_ramp(t_kelvin):
+    """(..., 3) convenience wrapper over blackbody_ramp_rows."""
+    return jnp.stack(blackbody_ramp_rows(t_kelvin), axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -182,7 +204,7 @@ def equatorial_g_factor(m, a, r, lam, dtype=jnp.float32):
     return (1.0 / (u_t * doppler)).astype(dtype)
 
 
-def disk_emission(
+def disk_emission_rows(
     disk: DiskParams,
     bh: Kerr,
     r_c,
@@ -193,13 +215,13 @@ def disk_emission(
     density_scale=1.0,
     intensity_scale=1.0,
 ):
-    """Shade ONE recorded disk crossing: (rgb, alpha, valid).
+    """Shade ONE recorded disk crossing: ((r, g, b) rows, alpha, valid).
 
     Runs once per crossing after the march (not per step) — blackbody color
     at g * T(r) with g^beaming intensity and noise-modulated alpha
     (chunks/disk.ts:22-111). ``lam`` is the ray's conserved impact parameter
     L_z/E. ``density_scale`` / ``intensity_scale`` are traced multipliers
-    used by inverse rendering.
+    used by inverse rendering. Channel-row output: see blackbody_ramp_rows.
     """
     m = bh.mass.astype(dtype)
     a = bh.spin.astype(dtype)
@@ -217,7 +239,7 @@ def disk_emission(
 
     t_shape = nt_temperature_profile(jnp.maximum(r_c, r_in * (1 + 1e-4)), r_in, dtype)
     t_obs = jnp.clip(g * t_shape * disk.t_peak, 1000.0, 40000.0)
-    color = blackbody_ramp(t_obs).astype(dtype)
+    color = tuple(c.astype(dtype) for c in blackbody_ramp_rows(t_obs))
 
     # Keplerian-phase-rotated turbulence (chunks/disk.ts:42-61): rotate the
     # noise field by the local orbital phase so structure shears.
@@ -240,8 +262,18 @@ def disk_emission(
     alpha = jnp.where(valid, alpha, 0.0).astype(dtype)
 
     intensity = _powi(g, disk.beaming_exponent) * t_shape**4 * outer * intensity_scale
-    rgb = jnp.where(valid[..., None], color * intensity[..., None], 0.0)
+    masked = jnp.where(valid, intensity, 0.0)
+    rgb = tuple(c * masked for c in color)
     return rgb, alpha, valid
+
+
+def disk_emission(disk, bh, r_c, phi_c, t_c, lam, dtype=jnp.float32,
+                  density_scale=1.0, intensity_scale=1.0):
+    """(..., 3) convenience wrapper over disk_emission_rows."""
+    rgb, alpha, valid = disk_emission_rows(
+        disk, bh, r_c, phi_c, t_c, lam, dtype, density_scale, intensity_scale
+    )
+    return jnp.stack(rgb, axis=-1), alpha, valid
 
 
 # ---------------------------------------------------------------------------
@@ -292,7 +324,7 @@ def build_disk_luts(bh: Kerr, disk: DiskParams, dtype=jnp.float32,
     return r_grid.astype(dtype), t_shape, t_axis.astype(dtype), rgb_table
 
 
-def disk_emission_lut(
+def disk_emission_lut_rows(
     disk: DiskParams,
     bh: Kerr,
     luts,
@@ -304,7 +336,7 @@ def disk_emission_lut(
     density_scale=1.0,
     intensity_scale=1.0,
 ):
-    """LUT twin of disk_emission: Page-Thorne T(r) + Planck/CIE color.
+    """LUT twin of disk_emission_rows: Page-Thorne T(r) + Planck/CIE color.
 
     Identical geometry/turbulence/opacity to the analytic path; only the
     temperature profile and the color come from the LUTs. Liouville
@@ -335,9 +367,13 @@ def disk_emission_lut(
     t0 = t_axis[idx]
     t1 = t_axis[idx + 1]
     w1 = jnp.clip((t_obs - t0) / jnp.maximum(t1 - t0, 1e-3), 0.0, 1.0)
-    color = (
-        rgb_table[idx] * (1.0 - w1)[..., None] + rgb_table[idx + 1] * w1[..., None]
-    ).astype(dtype)
+    # Per-channel gathers from the transposed (3, n_t) table keep the 2M-lane
+    # interpolation in full-tile rows (see blackbody_ramp_rows).
+    tab = rgb_table.T
+    color = tuple(
+        (tab[c][idx] * (1.0 - w1) + tab[c][idx + 1] * w1).astype(dtype)
+        for c in range(3)
+    )
 
     rk = jnp.maximum(r_c, r_in)
     omega_k = jnp.sqrt(m) / (rk * jnp.sqrt(rk) + a * jnp.sqrt(m))
@@ -356,8 +392,19 @@ def disk_emission_lut(
     # Liouville invariant: I_obs ~ g^4 T^4 (optically thick), with the
     # emitted-T^4 weight from the Page-Thorne profile.
     intensity = _powi(g, 4.0) * t_shape**4 * intensity_scale
-    rgb = jnp.where(valid[..., None], color * intensity[..., None], 0.0)
+    masked = jnp.where(valid, intensity, 0.0)
+    rgb = tuple(c * masked for c in color)
     return rgb, alpha, valid
+
+
+def disk_emission_lut(disk, bh, luts, r_c, phi_c, t_c, lam, dtype=jnp.float32,
+                      density_scale=1.0, intensity_scale=1.0):
+    """(..., 3) convenience wrapper over disk_emission_lut_rows."""
+    rgb, alpha, valid = disk_emission_lut_rows(
+        disk, bh, luts, r_c, phi_c, t_c, lam, dtype, density_scale,
+        intensity_scale,
+    )
+    return jnp.stack(rgb, axis=-1), alpha, valid
 
 
 def shade_disk_crossings(
@@ -370,50 +417,46 @@ def shade_disk_crossings(
     intensity_scale=1.0,
     spectral: bool = False,
 ):
-    """Composite the K recorded crossings front-to-back: (rgb, transmittance).
+    """Composite the K recorded crossings front-to-back:
+    ((r, g, b) channel rows, transmittance).
 
     Crossing slots fill in march order, so slot 0 is nearest the camera;
     standard alpha-over accumulation (chunks/disk.ts:108-111). With
     ``spectral`` the Page-Thorne + Planck/CIE LUT chain shades each
     crossing (build_disk_luts) instead of the analytic NT + Tanner-Helland
     ramp.
+
+    All per-slot math runs on (N,) rows: the crossing records are
+    transposed back to their native (K, N) march layout (the march carries
+    them that way, so XLA cancels the double transpose) — column slices of
+    an (N, K) array have a 1-sublane degenerate tile layout on TPU and ran
+    8x under hardware speed (the r2->r3 1080p profile).
     """
     # Conserved impact parameter lambda = L_z/E = -p_phi/p_t from the
     # *initial* state (exactly conserved along the ray).
-    lam = -y0[..., 7] / jnp.where(jnp.abs(y0[..., 4]) < 1e-12, -1.0, y0[..., 4])
+    y0t = y0.T
+    lam = -y0t[7] / jnp.where(jnp.abs(y0t[4]) < 1e-12, -1.0, y0t[4])
     n, k_slots = result.cross_r.shape
-    rgb = jnp.zeros((n, 3), dtype=dtype)
+    cr_t = result.cross_r.T
+    cp_t = result.cross_phi.T
+    ct_t = result.cross_t.T
+    rgb = tuple(jnp.zeros((n,), dtype=dtype) for _ in range(3))
     trans = jnp.ones((n,), dtype=dtype)
     luts = build_disk_luts(bh, disk, dtype) if spectral else None
     for k in range(k_slots):
         filled = k < result.n_crossings
         if spectral:
-            c_rgb, c_alpha, valid = disk_emission_lut(
-                disk,
-                bh,
-                luts,
-                result.cross_r[:, k],
-                result.cross_phi[:, k],
-                result.cross_t[:, k],
-                lam,
-                dtype,
-                density_scale,
-                intensity_scale,
+            c_rgb, c_alpha, valid = disk_emission_lut_rows(
+                disk, bh, luts, cr_t[k], cp_t[k], ct_t[k], lam,
+                dtype, density_scale, intensity_scale,
             )
         else:
-            c_rgb, c_alpha, valid = disk_emission(
-                disk,
-                bh,
-                result.cross_r[:, k],
-                result.cross_phi[:, k],
-                result.cross_t[:, k],
-                lam,
-                dtype,
-                density_scale,
-                intensity_scale,
+            c_rgb, c_alpha, valid = disk_emission_rows(
+                disk, bh, cr_t[k], cp_t[k], ct_t[k], lam,
+                dtype, density_scale, intensity_scale,
             )
         w = jnp.where(filled & valid, trans * c_alpha, 0.0)
-        rgb = rgb + w[..., None] * c_rgb
+        rgb = tuple(acc + w * c for acc, c in zip(rgb, c_rgb))
         trans = jnp.where(filled & valid, trans * (1.0 - c_alpha), trans)
     return rgb, trans
 
@@ -484,42 +527,59 @@ class StarfieldParams:
     cells: float = 160.0          # angular cell frequency
 
 
-def escape_direction(y, bh: Kerr):
-    """Unit Cartesian direction of an escaped ray from its far-field momentum.
+def escape_direction_rows(rows, bh: Kerr):
+    """Unit Cartesian direction rows (dx, dy, dz) of an escaped ray.
 
-    At the escape radius spacetime is nearly flat: the local orthonormal
-    components are (p^r, r p^theta, r sin(theta) p^phi) rotated by the
-    position angles.
+    ``rows``: the 8 state rows (t, r, th, ph, p_t, p_r, p_th, p_ph), each
+    (N,). At the escape radius spacetime is nearly flat: the local
+    orthonormal components are (p^r, r p^theta, r sin(theta) p^phi) rotated
+    by the position angles. The contravariant momentum uses the sparse
+    ingoing-KS components (ops/ks_kernel.ks_rhs) instead of a materialized
+    (N, 4, 4) metric + einsum — minor-dim-4 tensor ops run at 4/128 lane
+    occupancy on TPU.
     """
-    dtype = y.dtype
-    r, th, ph = y[..., 1], y[..., 2], y[..., 3]
-    g_inv = bh.contravariant(r, th)
-    p_con = jnp.einsum("...ij,...j->...i", g_inv, y[..., 4:])
-    v_r = p_con[..., 1]
-    v_th = r * p_con[..., 2]
-    v_ph = r * jnp.sin(th) * p_con[..., 3]
-    st, ct = jnp.sin(th), jnp.cos(th)
+    _, r, th, ph, pt, pr, pth, pph = rows
+    s = jnp.sin(th)
+    s2 = jnp.maximum(s * s, 1e-12)
+    m = bh.mass.astype(r.dtype)
+    a = bh.spin.astype(r.dtype)
+    sig = r * r + a * a * jnp.cos(th) ** 2
+    delta = r * r - 2.0 * m * r + a * a
+    inv_sig = 1.0 / sig
+    h = 2.0 * m * r * inv_sig
+    # Sparse ingoing-KS contravariant rows (ks_kernel.ks_rhs):
+    v_r = h * pt + delta * inv_sig * pr + a * inv_sig * pph
+    v_th = r * (pth * inv_sig)
+    v_ph = r * s * (a * inv_sig * pr + pph * inv_sig / s2)
+    st, ct = s, jnp.cos(th)
     sp, cp = jnp.sin(ph), jnp.cos(ph)
     # Spherical basis -> Cartesian.
     dx = v_r * st * cp + v_th * ct * cp - v_ph * sp
     dy = v_r * st * sp + v_th * ct * sp + v_ph * cp
     dz = v_r * ct - v_th * st
-    d = jnp.stack([dx, dy, dz], axis=-1)
-    return (d / jnp.linalg.norm(d, axis=-1, keepdims=True)).astype(dtype)
+    inv_n = 1.0 / jnp.sqrt(jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-30))
+    return dx * inv_n, dy * inv_n, dz * inv_n
 
 
-def starfield(direction, params: StarfieldParams = StarfieldParams()):
+def escape_direction(y, bh: Kerr):
+    """(..., 3) convenience wrapper over escape_direction_rows."""
+    rows = tuple(y[..., i] for i in range(8))
+    dx, dy, dz = escape_direction_rows(rows, bh)
+    return jnp.stack([dx, dy, dz], axis=-1).astype(y.dtype)
+
+
+def starfield_rows(dx, dy, dz, params: StarfieldParams = StarfieldParams()):
     """Two-scale hashed starfield + fbm nebula (chunks/background.ts:3-30).
 
-    ``direction``: (..., 3) unit vectors. Returns (..., 3) linear RGB.
+    Direction rows (dx, dy, dz) in, channel rows (r, g, b) out — full-tile
+    TPU layout (see blackbody_ramp_rows).
     """
-    dtype = direction.dtype
+    dtype = dx.dtype
     # Equal-area-ish angular coordinates to hash on.
-    dz = jnp.clip(direction[..., 2], -1.0, 1.0)
-    u = jnp.arctan2(direction[..., 1], direction[..., 0])
-    v = dz
+    u = jnp.arctan2(dy, dx)
+    v = jnp.clip(dz, -1.0, 1.0)
 
-    out = jnp.zeros(direction.shape[:-1] + (3,), dtype=jnp.float32)
+    out = [jnp.zeros_like(u, dtype=jnp.float32) for _ in range(3)]
     for freq, scale in ((params.cells, 1.0), (params.cells * 0.35, 2.2)):
         cu = jnp.floor(u * freq)
         cv = jnp.floor(v * freq)
@@ -529,13 +589,22 @@ def starfield(direction, params: StarfieldParams = StarfieldParams()):
         fv = v * freq - cv - 0.5
         spot = jnp.exp(-(fu * fu + fv * fv) * 40.0)
         temp = 3000.0 + 12000.0 * hash21(cu + 7, cv + 13)
-        color = blackbody_ramp(temp)
+        color = blackbody_ramp_rows(temp)
         h_mag = hash21(cu + 31, cv + 5)
-        mag = h_mag * h_mag * h_mag
-        out = out + (star * spot * mag)[..., None] * color
+        w = star * spot * (h_mag * h_mag * h_mag)
+        out = [acc + w * c for acc, c in zip(out, color)]
     nebula = fbm2(u * 3.0, v * 3.0, octaves=4)
     neb2 = nebula * nebula
-    neb_color = jnp.stack(
-        [0.35 * neb2, 0.2 * neb2, 0.5 * nebula * jnp.sqrt(nebula)], axis=-1
+    neb_rows = (0.35 * neb2, 0.2 * neb2, 0.5 * nebula * jnp.sqrt(nebula))
+    return tuple(
+        (params.brightness * acc + params.nebula * nc).astype(dtype)
+        for acc, nc in zip(out, neb_rows)
     )
-    return (params.brightness * out + params.nebula * neb_color).astype(dtype)
+
+
+def starfield(direction, params: StarfieldParams = StarfieldParams()):
+    """(..., 3) convenience wrapper over starfield_rows."""
+    rows = starfield_rows(
+        direction[..., 0], direction[..., 1], direction[..., 2], params
+    )
+    return jnp.stack(rows, axis=-1)

