@@ -126,8 +126,50 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    # Backward: one Adam step of inverse rendering at the same resolution —
-    # value_and_grad through the checkpointed jnp march (remat_every=32).
+    # Training step, production form (BASELINE configs[3]): the FD inverse
+    # step = 9 forward renders (center + central differences on 4 scene
+    # parameters) of the FLAGSHIP Pallas config — pathwise reverse-mode
+    # gradients of a chaotic 256-step march are noise (see
+    # parallel/train.py), so forward evaluations of the smooth loss ARE the
+    # production backward path, and they run at forward speed.
+    fd_step_ms = None
+    if not args.no_grad:
+        import dataclasses as dc
+
+        from blackhole_simulation_tpu.render import render_radiance
+
+        spins = [0.95, 0.95 + 0.008, 0.95 - 0.008] + [0.95] * 6
+        fd_scenes = [
+            dc.replace(scene, bh=dc.replace(scene.bh, spin=jnp.float32(s)))
+            for s in spins
+        ]
+        target = jnp.zeros((height, width, 3), jnp.float32)
+
+        @jax.jit
+        def fd_loss(s):
+            return jnp.mean((render_radiance(s) - target) ** 2)
+
+        reduce9 = jax.jit(lambda xs: jnp.stack(xs).sum())
+
+        def fd_step():
+            return float(reduce9([fd_loss(s) for s in fd_scenes]))
+
+        fd_step()  # compile (reuses the flagship render kernel)
+        t0 = time.perf_counter()
+        fd_step()
+        fd_step_ms = (time.perf_counter() - t0) * 1e3
+        fd_mrays = 9 * width * height / (fd_step_ms / 1e3) / 1e6
+        print(
+            f"bench: FD inverse step (9 flagship forwards) {fd_step_ms:.0f} ms "
+            f"-> {fd_mrays:.1f} Mrays/s marched",
+            file=sys.stderr,
+        )
+
+    # Reverse-mode AD step for comparison — value_and_grad through the
+    # checkpointed jnp march (scan of per-step checkpoints: remat_every=1
+    # measured 3.4x faster than 32 on TPU; the residual stacking
+    # dynamic-update-slices dominate either way, which is exactly why the
+    # FD step above is the production path).
     grad_mrays = None
     if not args.no_grad:
         from blackhole_simulation_tpu.parallel import (
@@ -150,7 +192,10 @@ def main() -> None:
                 scene,
                 camera=g_cam,
                 march_cfg=dc.replace(
-                    march_cfg, use_pallas=False, shadow_precull=False
+                    march_cfg,
+                    use_pallas=False,
+                    shadow_precull=False,
+                    remat_every=1,
                 ),
             )
             step = make_inverse_step(g_scene, None)
@@ -189,6 +234,8 @@ def main() -> None:
         "vs_baseline": round(mrays / baseline_mrays, 4),
         "compile_s": round(compile_s, 1),
     }
+    if fd_step_ms is not None:
+        out["fd_step_ms"] = round(fd_step_ms, 1)
     if grad_mrays is not None:
         out["backward_mrays"] = round(grad_mrays, 3)
         out["backward_res"] = f"{g_w}x{g_h}"

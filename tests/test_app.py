@@ -172,6 +172,17 @@ class TestCLI:
         # the minimal preset renders at 0.5x scale (render_scale schema)
         assert img.shape == (12, 16, 3)
 
+    def test_inverse_tiny(self, capsys):
+        """The inverse subcommand drives the FD driver (train.py default)
+        end-to-end: two steps on a tiny frame must run and report JSON."""
+        code = main([
+            "inverse", "--width", "16", "--height", "12", "--steps", "2",
+            "--init-spin", "0.6", "--set", "quality=low",
+        ])
+        assert code == 0
+        out = capsys.readouterr().out
+        assert "recovered_spin" in out
+
     def test_fields_cmd(self, tmp_path):
         out = str(tmp_path / "f.npz")
         assert main(["fields", "--n-r", "8", "--n-theta", "5", "--out", out]) == 0
