@@ -78,8 +78,14 @@ def main() -> None:
         use_pallas=(platform == "tpu"),
         # Production levers (VERDICT r2 item 1), all parity-tested:
         shadow_precull=True,
-        far_step_cap_rate=0.25,
+        far_step_cap_rate=0.4,
+        far_boost_radius=20.0,
         approx_recip=True,
+        # One fixed-point iteration of the implicit-midpoint step (2 RHS
+        # evals/step instead of 3). Gate-certified: the full oracle-gate
+        # suite (image allclose at a=0 and a=0.999, gradient-vs-oracle,
+        # 2nd-order convergence) passes with midpoint_iters=1.
+        midpoint_iters=1,
     )
     scene = Scene.create(mass=1.0, spin=0.999, camera=cam, march_cfg=march_cfg)
 

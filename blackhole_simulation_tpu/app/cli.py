@@ -4,6 +4,7 @@ Subcommands map to the reference's surfaces:
   info       — derived physics readout (Telemetry / SimulationInfo panels)
   render     — still frame -> PNG (the WebGL canvas)
   animate    — cinematic director sequence -> PNGs (useCamera directors)
+  sweep      — mesh-sharded batched camera sweep -> npz (configs[4] driver)
   bench      — preset sweep benchmark (BenchmarkController)
   validate   — per-feature cost measurement -> JSON (PerformanceValidator)
   fields     — spacetime analytics fields -> .npz (R3F spacetime canvases)
@@ -121,6 +122,59 @@ def cmd_animate(args) -> int:
         save_png(jnp.clip(img, 0.0, 1.0), os.path.join(args.outdir, f"frame_{i:05d}.png"))
         print(f"frame {i + 1}/{args.frames} r={r:.1f}", file=sys.stderr)
     print(f"wrote {args.frames} frames to {args.outdir}")
+    return 0
+
+
+def cmd_sweep(args) -> int:
+    """Mesh-sharded batched camera sweep (BASELINE configs[4]: the
+    multi-device volumetric run). Each frame's rays shard over ALL devices
+    via render_sharded; the replicated image is gathered per host
+    (parallel.gather_image) and stacked into one npz volume. On the CPU
+    test backend run with XLA_FLAGS=--xla_force_host_platform_device_count=8
+    to exercise the 8-way mesh."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from blackhole_simulation_tpu.configs.simulation import scene_from_params
+    from blackhole_simulation_tpu.engine.cinema import DIRECTORS
+    from blackhole_simulation_tpu.parallel import (
+        gather_image,
+        make_mesh,
+        render_sharded,
+    )
+    from blackhole_simulation_tpu.render import Camera
+
+    params = _params_from_args(args)
+    director = DIRECTORS[args.director]
+    mesh = make_mesh(args.devices if args.devices > 0 else None)
+    scene0 = scene_from_params(params, width=args.width, height=args.height)
+
+    frames = []
+    t0 = _time.perf_counter()
+    for i in range(args.frames):
+        r, theta, phi = director(i * args.dt)
+        cam = Camera.create(
+            r=r, theta=theta, phi=phi, fov=params.fov,
+            width=scene0.camera.width, height=scene0.camera.height,
+        )
+        scene = dataclasses.replace(scene0, camera=cam)
+        img = gather_image(render_sharded(scene, mesh, n_samples=args.samples))
+        frames.append(np.asarray(img))
+        print(f"frame {i + 1}/{args.frames} r={r:.1f}", file=sys.stderr)
+    elapsed = _time.perf_counter() - t0
+    vol = np.stack(frames)
+    np.savez(args.out, frames=vol)
+    n_rays = args.frames * args.samples * vol.shape[1] * vol.shape[2]
+    print(json.dumps({
+        "frames": args.frames,
+        "shape": list(vol.shape),
+        "devices": int(mesh.devices.size),
+        "mrays_per_s": round(n_rays / elapsed / 1e6, 3),
+        "out": args.out,
+    }))
     return 0
 
 
@@ -276,6 +330,22 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--samples", type=int, default=1)
     p.add_argument("--outdir", default="frames")
     p.set_defaults(fn=cmd_animate)
+
+    p = sub.add_parser(
+        "sweep", help="mesh-sharded batched camera sweep -> npz volume"
+    )
+    _add_param_args(p)
+    p.add_argument("--director", choices=["grand_survey", "descent"],
+                   default="grand_survey")
+    p.add_argument("--frames", type=int, default=16)
+    p.add_argument("--dt", type=float, default=1.0,
+                   help="seconds of director time per frame")
+    p.add_argument("--width", type=int, default=480)
+    p.add_argument("--height", type=int, default=270)
+    p.add_argument("--samples", type=int, default=1)
+    p.add_argument("--devices", type=int, default=0, help="0 = all")
+    p.add_argument("--out", default="sweep.npz")
+    p.set_defaults(fn=cmd_sweep)
 
     p = sub.add_parser("bench", help="preset sweep benchmark")
     p.add_argument("--width", type=int, default=480)

@@ -214,14 +214,19 @@ def render_sample(scene: Scene, jitter, dtype=jnp.float32) -> jnp.ndarray:
         # March AND shade in pixel-block order (shading is pure per-ray, so
         # order is irrelevant), then restore row-major order for just the 3
         # radiance rows — reordering the full MarchResult (state, crossing
-        # records, ...) cost ~5 ms/frame of copies at 1080p.
+        # records, ...) cost ~5 ms/frame of copies at 1080p. Rays are BORN
+        # in block order (camera_rays_indexed over block-ordered pixel ids,
+        # which XLA constant-folds) instead of built row-major and copied.
         from blackhole_simulation_tpu.ops.pallas_march import (
             from_block_order,
             to_block_order,
         )
+        from blackhole_simulation_tpu.render.camera import camera_rays_indexed
 
         h, w = scene.camera.height, scene.camera.width
-        rays_b = to_block_order(rays, h, w)
+        ids = to_block_order(jnp.arange(h * w, dtype=jnp.int32), h, w)
+        rays_b = camera_rays_indexed(scene.camera, bh, ids, jitter=jitter,
+                                     dtype=dtype)
         result = march(rays_b, bh, cfg, jets=jets)
         rgb = shade_sample_rows(result, bh, scene, dtype, rays_b)
         rgb = tuple(from_block_order(c, h, w) for c in rgb)

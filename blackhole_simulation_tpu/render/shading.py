@@ -433,8 +433,10 @@ def shade_disk_crossings(
     8x under hardware speed (the r2->r3 1080p profile).
     """
     # Conserved impact parameter lambda = L_z/E = -p_phi/p_t from the
-    # *initial* state (exactly conserved along the ray).
-    y0t = y0.T
+    # *initial* state (exactly conserved along the ray). The barrier stops
+    # XLA from rewriting the transpose back into (N, 8) column slices,
+    # whose 1-sublane degenerate tile layout ran ~8x under hardware speed.
+    y0t = jax.lax.optimization_barrier(y0.T)
     lam = -y0t[7] / jnp.where(jnp.abs(y0t[4]) < 1e-12, -1.0, y0t[4])
     n, k_slots = result.cross_r.shape
     cr_t = result.cross_r.T

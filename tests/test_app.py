@@ -188,3 +188,19 @@ class TestCLI:
         assert main(["fields", "--n-r", "8", "--n-theta", "5", "--out", out]) == 0
         data = np.load(out)
         assert data["kretschmann"].shape == (8, 5) or data["kretschmann"].size > 0
+
+
+class TestSweepCmd:
+    def test_sweep_tiny(self, tmp_path, capsys):
+        """Mesh-sharded camera sweep (configs[4] driver) over the 8-device
+        virtual mesh: frames render via render_sharded and stack to npz."""
+        out = str(tmp_path / "sweep.npz")
+        code = main([
+            "sweep", "--frames", "2", "--width", "24", "--height", "16",
+            "--set", "quality=low", "--out", out,
+        ])
+        assert code == 0
+        data = np.load(out)
+        assert data["frames"].shape == (2, 16, 24, 3)
+        assert np.isfinite(data["frames"]).all()
+        assert "mrays_per_s" in capsys.readouterr().out
