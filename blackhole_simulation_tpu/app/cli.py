@@ -249,9 +249,10 @@ def cmd_inverse(args) -> int:
     from blackhole_simulation_tpu.parallel.checkpoint import CheckpointManager
     from blackhole_simulation_tpu.parallel.train import (
         InverseParams,
-        init_opt_state,
+        fd_state_init,
+        fd_state_params,
         inverse_render,
-        make_inverse_step,
+        make_fd_inverse_step,
     )
     from blackhole_simulation_tpu.render import render_radiance
 
@@ -261,10 +262,11 @@ def cmd_inverse(args) -> int:
     print(f"target rendered at true spin {params.spin}")
 
     if args.checkpoint_dir:
+        # Checkpoint the FD driver (the production optimizer — reverse-mode
+        # AD gradients through a long march are chaos-corrupted; ADVICE r3).
         mgr = CheckpointManager(args.checkpoint_dir)
-        step_fn = make_inverse_step(scene, total_steps=args.steps)
-        p = InverseParams.init(spin=args.init_spin)
-        state = (p, init_opt_state(p))
+        step_fn = make_fd_inverse_step(scene, total_steps=args.steps)
+        state = fd_state_init(InverseParams.init(spin=args.init_spin))
         start, restored = mgr.restore_latest(state)
         if restored is not None:
             state, start = restored, start
@@ -276,8 +278,8 @@ def cmd_inverse(args) -> int:
             if (i + 1) % max(args.steps // 5, 1) == 0:
                 mgr.save(i + 1, state)
                 print(f"step {i + 1}: loss {float(loss):.3e} "
-                      f"spin {float(state[0].spin):+.4f}")
-        final = state[0]
+                      f"spin {float(fd_state_params(state).spin):+.4f}")
+        final = fd_state_params(state)
     else:
         final, losses = inverse_render(
             scene, target, n_steps=args.steps,

@@ -128,7 +128,12 @@ def capture_mask(m, a, y0: jnp.ndarray, margin: float = 0.04) -> jnp.ndarray:
     m = jnp.asarray(m, dtype)
     a_signed = jnp.asarray(a, dtype)
     flip = jnp.where(a_signed < 0.0, -1.0, 1.0).astype(dtype)
-    a = jnp.maximum(jnp.abs(a_signed), 1e-3 * m)
+    # Clamp to the range the _CHEB_ERR bound was validated on: [1e-3, 0.999]M
+    # (ADVICE r3). Above 0.999 the fit error could exceed the 0.03 margin and
+    # over-cull escaping rays; clamping instead evaluates the 0.999 curve,
+    # whose distance to the true a -> 1 curve (O(1e-3) in eta) is far inside
+    # the 4% relative + 0.04 M^2 absolute cull margin below.
+    a = jnp.clip(jnp.abs(a_signed), 1e-3 * m, 0.999 * m)
 
     # Row view of the packed state: column slices of an (N, 8) array carry
     # a 1-sublane degenerate TPU layout; the barrier forces one contiguous

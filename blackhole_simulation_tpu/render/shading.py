@@ -42,9 +42,16 @@ def _fract(x):
 
 
 def hash21(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
-    """2-D lattice hash -> float in [0, 1)."""
-    x = jnp.asarray(x, jnp.float32)
-    y = jnp.asarray(y, jnp.float32)
+    """2-D lattice hash -> float in [0, 1).
+
+    The +0.5 input offset keeps lattice point (0, 0) off the hash's fixed
+    point (with all-zero inputs every fract term vanishes and the hash
+    returns exactly 0). Entropy note: the final f32 fract of a ~1e2-
+    magnitude product keeps ~16 effective random bits — below the 24 bits
+    of an integer PCG mix, visually indistinguishable in the star/
+    turbulence fields and ~25x cheaper on the VPU (see block comment)."""
+    x = jnp.asarray(x, jnp.float32) + 0.5
+    y = jnp.asarray(y, jnp.float32) + 0.5
     px = _fract(x * 0.1031)
     py = _fract(y * 0.1030)
     pz = _fract((x + y) * 0.0973)
@@ -53,9 +60,9 @@ def hash21(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
 
 
 def hash31(x: jnp.ndarray, y: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
-    x = jnp.asarray(x, jnp.float32)
-    y = jnp.asarray(y, jnp.float32)
-    z = jnp.asarray(z, jnp.float32)
+    x = jnp.asarray(x, jnp.float32) + 0.5
+    y = jnp.asarray(y, jnp.float32) + 0.5
+    z = jnp.asarray(z, jnp.float32) + 0.5
     px = _fract(x * 0.1031)
     py = _fract(y * 0.1030)
     pz = _fract(z * 0.0973)

@@ -21,3 +21,47 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+import pytest  # noqa: E402
+
+# Test tiering (VERDICT r3 item 9): everything below is an oracle render,
+# Pallas interpret-mode parity run, long optimization, or wall-clock perf
+# measurement — each >8 s on CPU, ~45 of the suite's ~55 min combined. The
+# default gate is `pytest -m "not slow"` (<10 min); the full suite is the
+# nightly-style target. Centralized here instead of per-file decorators so
+# the tier list is one visible block.
+_SLOW = {
+    # oracle-gate suite: f64 adaptive-RKF45 oracle renders per test
+    "test_oracle_gate.py": "ALL",
+    # interpret-mode Pallas parity (compiles the kernel in interpreter)
+    "test_pallas.py": "ALL",
+    # LUT chain builds f64 Page-Thorne/Planck tables + gradient flows
+    "test_lut_shading.py": "ALL",
+    # sharded renders/steps over the 8-device virtual mesh
+    "test_parallel.py": {
+        "test_sharded_step_matches_unsharded",
+        "test_inverse_recovers_spin",
+        "test_forward_identity_and_bounded_backward",
+        "test_sharding_overhead_efficiency",  # wall-clock: flaky under load
+        "test_fd_sharded_losses_match_unsharded",
+        "test_sharded_pallas_path_runs",
+        "test_sharded_matches_single_device",
+        "test_sharded_supersampling_matches_single_device",
+        "test_host_chip_mesh_renders",
+    },
+    "test_app.py": {"test_inverse_tiny", "test_sweep_tiny"},
+    "test_geodesic.py": {"test_gradient_through_fixed_step_march"},
+    "test_overlay.py": {"test_feature_flag_composites_lines"},
+    "test_models.py": {
+        "test_training_reduces_loss_and_predicts",
+        "test_dataset_physical",
+    },
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        fname = item.path.name if hasattr(item, "path") else item.fspath.basename
+        spec = _SLOW.get(fname)
+        if spec == "ALL" or (spec and item.name.split("[")[0] in spec):
+            item.add_marker(pytest.mark.slow)
