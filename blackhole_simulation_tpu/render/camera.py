@@ -131,6 +131,53 @@ def camera_rays_indexed(camera: Camera, bh: Kerr, pix_ids: jnp.ndarray,
     return _rays_from_ndc(camera, bh, nx, ny, dtype)
 
 
+def camera_rays_u(camera: Camera, bh: Kerr, pix_ids=None, jitter=None,
+                  dtype=jnp.float32):
+    """Build (8, N) u-chart null-ray rows (t, r, u, phi, p_t, p_r, p_u, p_phi)
+    with the momentum normalized to p_t = -1.
+
+    The row-native twin of camera_rays: emits the march's working layout
+    directly — no (N, 8) intermediate, no per-ray theta trig (the camera
+    sits at one theta, so u0 = cos(theta0) and p_u = -p_theta / sin(theta0)
+    are scalar ops), and the affine normalization p -> p / (-p_t) (null
+    geodesics are invariant under affine rescaling) pins the conserved p_t
+    row to the constant -1, which lets the march kernel fold every
+    p_t-multiplied term (and makes lam = L_z/E equal p_phi outright).
+    """
+    if pix_ids is None:
+        nx, ny = pixel_grid(camera.width, camera.height, jitter, dtype)
+        nx, ny = nx.reshape(-1), ny.reshape(-1)
+    else:
+        ix = (pix_ids % camera.width).astype(dtype)
+        iy = (pix_ids // camera.width).astype(dtype)
+        jx = jitter[0] if jitter is not None else 0.0
+        jy = jitter[1] if jitter is not None else 0.0
+        nx = (ix + 0.5 + jx) / camera.width * 2.0 - 1.0
+        ny = 1.0 - (iy + 0.5 + jy) / camera.height * 2.0
+    p = _momenta_from_ndc(camera, bh, nx.astype(dtype), ny.astype(dtype), dtype)
+    # Affine-normalize to p_t = -1 (p_t < 0 for every camera ray: the ZAMO
+    # u^mu contribution dominates the lowered momentum's t component).
+    inv = 1.0 / (-p[0])
+    th0 = camera.theta
+    u0 = jnp.cos(th0).astype(dtype)
+    s0 = jnp.sqrt(jnp.maximum(1.0 - jnp.cos(th0) ** 2, 1e-12)).astype(dtype)
+    n = nx.shape[0]
+    full = lambda v: jnp.full((n,), v, dtype)
+    return jnp.stack(
+        [
+            jnp.zeros((n,), dtype),
+            full(camera.r.astype(dtype)),
+            full(u0),
+            full(camera.phi.astype(dtype)),
+            jnp.full((n,), -1.0, dtype),
+            p[1] * inv,
+            -(p[2] * inv) / s0,
+            p[3] * inv,
+        ],
+        axis=0,
+    )
+
+
 def camera_rays(camera: Camera, bh: Kerr, jitter=None, dtype=jnp.float32):
     """Build (H*W, 8) null-ray initial states in the Kerr-Schild chart.
 
@@ -143,10 +190,11 @@ def camera_rays(camera: Camera, bh: Kerr, jitter=None, dtype=jnp.float32):
     return _rays_from_ndc(camera, bh, nx.reshape(-1), ny.reshape(-1), dtype)
 
 
-def _rays_from_ndc(camera: Camera, bh: Kerr, nx, ny, dtype):
-    """Per-ray work is 3 scalar-coefficient FMAs per momentum component.
+def _momenta_from_ndc(camera: Camera, bh: Kerr, nx, ny, dtype):
+    """Covariant KS momentum rows [p_t, p_r, p_th, p_ph] for NDC pixels.
 
-    The ZAMO tetrad, BL metric, and BL->KS covector transform all live at the
+    Per-ray work is 3 scalar-coefficient FMAs per momentum component: the
+    ZAMO tetrad, BL metric, and BL->KS covector transform all live at the
     (scalar) camera position, and the photon momentum is LINEAR in the pixel
     direction (n_r, n_th, n_ph): p_cov = c0 + n_r c_r + n_th c_th + n_ph c_ph
     with 4-vectors of scalar coefficients. The earlier form materialized
@@ -154,7 +202,7 @@ def _rays_from_ndc(camera: Camera, bh: Kerr, nx, ny, dtype):
     on every op, and ray gen cost ~2/3 of the march itself (measured 38 ms
     at 1080p; this form ~1 ms)."""
     m, a = bh.mass, bh.spin
-    r0, th0, ph0 = camera.r, camera.theta, camera.phi
+    r0, th0 = camera.r, camera.theta
     # All per-pixel math runs in the render dtype: camera fields are f64
     # scalars (the package enables x64 for the oracle layer), and one f64
     # scalar touching the (N,) NDC arrays promotes the whole ray-gen sweep
@@ -162,8 +210,6 @@ def _rays_from_ndc(camera: Camera, bh: Kerr, nx, ny, dtype):
     # ~1 ms in f32). Scalar camera/tetrad math below stays f64.
     aspect = jnp.asarray(camera.width / camera.height, dtype)
     half = jnp.tan(camera.fov / 2.0).astype(dtype)
-    nx = nx.astype(dtype)
-    ny = ny.astype(dtype)
     cx = nx * (half * aspect)
     cy = ny * half
 
@@ -185,11 +231,15 @@ def _rays_from_ndc(camera: Camera, bh: Kerr, nx, ny, dtype):
     coeffs = [g_bl @ v for v in (u, e_r, e_th, e_ph)]
     coeffs = [bl_to_ks_momentum(m, a, r0, c).astype(dtype) for c in coeffs]
     c0, c_r, c_th, c_ph = coeffs
+    return [c0[j] + n_r * c_r[j] + n_th * c_th[j] + n_ph * c_ph[j]
+            for j in range(4)]
 
-    nx_ = n_r.astype(dtype)
-    ny_ = n_th.astype(dtype)
-    nz_ = n_ph.astype(dtype)
-    p = [c0[j] + nx_ * c_r[j] + ny_ * c_th[j] + nz_ * c_ph[j] for j in range(4)]
+
+def _rays_from_ndc(camera: Camera, bh: Kerr, nx, ny, dtype):
+    """(N, 8) theta-chart packed states (the legacy/public layout)."""
+    nx_ = nx.astype(dtype)
+    r0, th0, ph0 = camera.r, camera.theta, camera.phi
+    p = _momenta_from_ndc(camera, bh, nx_, ny.astype(dtype), dtype)
 
     zero = jnp.zeros_like(nx_)
     y0 = jnp.stack(

@@ -172,6 +172,35 @@ class MarchResult:
                               # fragment.glsl.ts:198-200, recorded not guessed)
 
 
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "state_u", "hit", "steps", "cross_r", "cross_phi", "cross_t",
+        "n_crossings", "jet_radiance", "r_min_ph",
+    ],
+    meta_fields=[],
+)
+@dataclasses.dataclass(frozen=True)
+class MarchRows:
+    """Row-native march result — the march's working layout, no transposes.
+
+    The render pipeline consumes this directly: every relayout between the
+    march's (8, N)/(K, N) rows and MarchResult's (N, 8)/(N, K) packing is a
+    full-HBM copy at 1080p (~3 ms/frame of pure data movement in the r3
+    profile), and shading immediately transposed the packed arrays back.
+    """
+
+    state_u: jnp.ndarray      # (8, N) final u-chart rows (t,r,u,ph,pt,pr,pu,pph)
+    hit: jnp.ndarray          # (N,)
+    steps: jnp.ndarray        # (N,)
+    cross_r: jnp.ndarray      # (K, N)
+    cross_phi: jnp.ndarray    # (K, N)
+    cross_t: jnp.ndarray      # (K, N)
+    n_crossings: jnp.ndarray  # (N,)
+    jet_radiance: jnp.ndarray # (3, N)
+    r_min_ph: jnp.ndarray     # (N,)
+
+
 def adaptive_dlam(r, r_h, r_ph, cfg: MarchConfig, dtype):
     """Curvature-adaptive affine step (fragment.glsl.ts:141-159, vectorized):
     grows with (r - r_h), boosted in the far field, clamped down near the
@@ -189,6 +218,27 @@ def adaptive_dlam(r, r_h, r_ph, cfg: MarchConfig, dtype):
     return jnp.clip(base * far * prox, cfg.min_step, cap).astype(dtype)
 
 
+def precull_threshold(yt0: jnp.ndarray, bh: Kerr, cfg: MarchConfig):
+    """(N,) per-ray termination radius from the u-chart rows: horizon_r
+    normally; for pre-culled rays the ISCO (disk kept) or effectively-
+    infinite (instant death)."""
+    dtype = yt0.dtype
+    horizon_r = cfg.horizon_factor * bh.event_horizon().astype(dtype)
+    n = yt0.shape[1]
+    if not cfg.shadow_precull:
+        return jnp.broadcast_to(jnp.asarray(horizon_r, dtype), (n,))
+    from blackhole_simulation_tpu.render.precull import capture_mask_u
+
+    dead = capture_mask_u(bh.mass.astype(dtype), bh.spin.astype(dtype), yt0)
+    if cfg.precull_keep_disk:
+        stop_r = jnp.maximum(
+            jnp.maximum(bh.isco().astype(dtype), cfg.record_r_min), horizon_r
+        )
+    else:
+        stop_r = jnp.asarray(1e9, dtype)
+    return jnp.where(dead, stop_r, horizon_r)
+
+
 def march(
     y0: jnp.ndarray,
     bh: Kerr,
@@ -199,35 +249,53 @@ def march(
     equatorial-plane crossings. ``jets``: optional shading.JetParams — when
     set, optically-thin jet emission accumulates per step. Returns a
     MarchResult. Fully differentiable.
+
+    Thin packing wrapper over march_rows (the row-native core the render
+    pipeline calls directly).
     """
-    assert bh.chart == KS, "the fast march integrates in the Kerr-Schild chart"
     dtype = y0.dtype
     n = y0.shape[0]
+    yt0 = theta_state_to_u(y0.T)
+    rows = march_rows(yt0, bh, cfg, jets=jets)
+    return MarchResult(
+        state=u_state_to_theta(rows.state_u).T,
+        hit=rows.hit,
+        steps=rows.steps,
+        cross_r=rows.cross_r.T,
+        cross_phi=rows.cross_phi.T,
+        cross_t=rows.cross_t.T,
+        n_crossings=rows.n_crossings,
+        jet_radiance=rows.jet_radiance.T,
+        r_min_ph=rows.r_min_ph,
+    )
+
+
+def march_rows(
+    yt0: jnp.ndarray,
+    bh: Kerr,
+    cfg: MarchConfig = MarchConfig(),
+    jets=None,
+    thr: jnp.ndarray | None = None,
+):
+    """Row-native march core: (8, N) u-chart rows in, MarchRows out.
+
+    ``yt0`` need not be null-renormalized (the march projects p_r onto
+    H = 0 first). ``thr`` overrides the per-ray termination radius
+    (precull_threshold is used when omitted)."""
+    assert bh.chart == KS, "the fast march integrates in the Kerr-Schild chart"
+    dtype = yt0.dtype
+    n = yt0.shape[1]
     k_slots = cfg.max_crossings
     m_bh = bh.mass.astype(dtype)
     a_bh = bh.spin.astype(dtype)
     r_h = bh.event_horizon().astype(dtype)
     r_ph = bh.photon_sphere().astype(dtype)
-    horizon_r = cfg.horizon_factor * r_h
     slot_ids = jnp.arange(k_slots)
 
-    # Per-ray termination radius: horizon_r normally; for pre-culled rays
-    # the ISCO (disk kept) or effectively-infinite (instant death).
-    if cfg.shadow_precull:
-        from blackhole_simulation_tpu.render.precull import capture_mask
+    if thr is None:
+        thr = precull_threshold(yt0, bh, cfg)
 
-        dead = capture_mask(m_bh, a_bh, y0)
-        if cfg.precull_keep_disk:
-            stop_r = jnp.maximum(
-                jnp.maximum(bh.isco().astype(dtype), cfg.record_r_min), horizon_r
-            )
-        else:
-            stop_r = jnp.asarray(1e9, dtype)
-        thr = jnp.where(dead, stop_r, horizon_r)
-    else:
-        thr = jnp.broadcast_to(jnp.asarray(horizon_r, dtype), (n,))
-
-    yt0 = ks_renormalize_u(m_bh, a_bh, theta_state_to_u(y0.T))
+    yt0 = ks_renormalize_u(m_bh, a_bh, yt0)
 
     if cfg.use_pallas and jets is None:
         from blackhole_simulation_tpu.ops.pallas_march import pallas_march_u
@@ -236,15 +304,15 @@ def march(
         yt, hit, steps, cr, cp, ct, ncross, rmin = pallas_march_u(
             yt0, thr, m_bh, a_bh, r_h, r_ph, cfg, interpret=interpret
         )
-        return MarchResult(
-            state=u_state_to_theta(yt).T,
+        return MarchRows(
+            state_u=yt,
             hit=hit,
             steps=steps,
-            cross_r=cr.T,
-            cross_phi=cp.T,
-            cross_t=ct.T,
+            cross_r=cr,
+            cross_phi=cp,
+            cross_t=ct,
             n_crossings=ncross,
-            jet_radiance=jnp.zeros((n, 3), dtype=dtype),
+            jet_radiance=jnp.zeros((3, n), dtype=dtype),
             r_min_ph=rmin,
         )
 
@@ -429,14 +497,14 @@ def march(
     # Step budget exhausted while still live: closest to a horizon-bound ray
     # (photon-ring orbiters) — classify as horizon like the reference's cap.
     hit = jnp.where(hit == HIT_NONE, HIT_HORIZON, hit)
-    return MarchResult(
-        state=u_state_to_theta(yt).T,
+    return MarchRows(
+        state_u=yt,
         hit=hit,
         steps=steps,
-        cross_r=cr.T,
-        cross_phi=cp.T,
-        cross_t=ct.T,
+        cross_r=cr,
+        cross_phi=cp,
+        cross_t=ct,
         n_crossings=ncross,
-        jet_radiance=jet_rgb.T,
+        jet_radiance=jet_rgb,
         r_min_ph=rmin,
     )

@@ -19,12 +19,18 @@ import jax
 import jax.numpy as jnp
 
 from blackhole_simulation_tpu.geometry.metrics import KS, Kerr
-from blackhole_simulation_tpu.render.camera import Camera, camera_rays
+from blackhole_simulation_tpu.render.camera import (
+    Camera,
+    camera_rays,
+    camera_rays_u,
+)
 from blackhole_simulation_tpu.render.march import (
     HIT_ESCAPE,
     MarchConfig,
     MarchResult,
+    MarchRows,
     march,
+    march_rows,
 )
 from blackhole_simulation_tpu.render.post import PostParams, tonemap
 from blackhole_simulation_tpu.render.shading import (
@@ -32,6 +38,8 @@ from blackhole_simulation_tpu.render.shading import (
     JetParams,
     StarfieldParams,
     escape_direction_rows,
+    escape_direction_u_rows,
+    shade_crossings_rows,
     shade_disk_crossings,
     starfield_rows,
 )
@@ -188,14 +196,79 @@ def shade_sample(result, bh, scene, dtype, y0, density_scale=1.0,
     return jnp.stack(rgb, axis=-1)
 
 
+def shade_march_rows(
+    rows: MarchRows,
+    bh: Kerr,
+    scene: Scene,
+    dtype,
+    lam,
+    density_scale=1.0,
+    intensity_scale=1.0,
+):
+    """Row-native twin of shade_sample_rows: consumes MarchRows directly —
+    zero relayouts between the march and the composite (the r3 profile paid
+    ~3 ms/frame of (8,N)<->(N,8)/(K,N)<->(N,K) copies at 1080p).
+
+    ``lam``: the (N,) conserved impact parameter L_z/E row.
+    """
+    escaped = rows.hit == HIT_ESCAPE
+    n = rows.hit.shape[0]
+    if scene.features.disk:
+        rgb, trans = shade_crossings_rows(
+            bh, scene.disk, rows.cross_r, rows.cross_phi, rows.cross_t,
+            rows.n_crossings, lam, dtype, density_scale, intensity_scale,
+            spectral=scene.features.spectral_lut,
+        )
+    else:
+        rgb = tuple(jnp.zeros((n,), dtype=dtype) for _ in range(3))
+        trans = jnp.ones((n,), dtype=dtype)
+
+    if scene.features.starfield:
+        # Captured rays get a fixed far-field dummy state (u-form: theta =
+        # pi/2 -> u = 0, p_u = 0) so no garbage/NaN flows through masked
+        # lanes (see shade_sample_rows).
+        dummy = (0.0, 100.0, 0.0, 0.0, -1.0, -1.0, 0.0, 0.0)
+        st = rows.state_u
+        srows = tuple(
+            jnp.where(escaped, st[i], jnp.asarray(dummy[i], dtype))
+            for i in range(8)
+        )
+        bg = starfield_rows(*escape_direction_u_rows(srows, bh),
+                            params=scene.stars)
+        w_bg = jnp.where(escaped, trans, 0.0)
+        rgb = tuple(c + w_bg * b for c, b in zip(rgb, bg))
+
+    if scene.features.jets:
+        rgb = tuple(c + rows.jet_radiance[i] for i, c in enumerate(rgb))
+
+    if scene.features.photon_ring_glow:
+        r_ph = bh.photon_sphere().astype(dtype)
+        near = jnp.exp(-14.0 * rows.r_min_ph / jnp.maximum(r_ph, 1e-3))
+        glow = jnp.where(escaped, 0.6 * near, 0.0)
+        order = jnp.clip(rows.n_crossings, 0, 3).astype(dtype) / 3.0
+        warm = (1.0, 0.82, 0.55)
+        cool = (0.82, 0.88, 1.0)
+        rgb = tuple(
+            c + glow * (w + order * (k - w))
+            for c, w, k in zip(rgb, warm, cool)
+        )
+    return rgb
+
+
 def render_sample(scene: Scene, jitter, dtype=jnp.float32) -> jnp.ndarray:
-    """Render one jittered sub-sample: (H*W, 3) linear radiance."""
+    """Render one jittered sub-sample: (H*W, 3) linear radiance.
+
+    Fully row-native (VERDICT r3 / perf): rays are BORN as (8, N) u-chart
+    rows with p_t normalized to -1 (camera_rays_u), the march runs and
+    returns rows (march_rows), and the composite consumes rows
+    (shade_march_rows) — the only packed/relayout step left is restoring
+    row-major pixel order for the 3 radiance rows on the Pallas path.
+    """
     bh = Kerr(
         mass=scene.bh.mass.astype(dtype),
         spin=scene.bh.spin.astype(dtype),
         chart=KS,
     )
-    rays = camera_rays(scene.camera, bh, jitter=jitter, dtype=dtype)
     jets = scene.jet_params if scene.features.jets else None
     cfg = scene.march_cfg
     if cfg.shadow_precull:
@@ -208,31 +281,32 @@ def render_sample(scene: Scene, jitter, dtype=jnp.float32) -> jnp.ndarray:
             shadow_precull=not scene.features.jets,
             precull_keep_disk=scene.features.disk,
         )
-    # Mirror march()'s own dispatch: it falls back to the jnp path when jets
-    # are enabled, so only reorder when the Pallas kernel actually runs.
-    if cfg.use_pallas and jets is None:
+    use_pallas = cfg.use_pallas and jets is None
+    h, w = scene.camera.height, scene.camera.width
+    if use_pallas:
         # March AND shade in pixel-block order (shading is pure per-ray, so
         # order is irrelevant), then restore row-major order for just the 3
-        # radiance rows — reordering the full MarchResult (state, crossing
-        # records, ...) cost ~5 ms/frame of copies at 1080p. Rays are BORN
-        # in block order (camera_rays_indexed over block-ordered pixel ids,
-        # which XLA constant-folds) instead of built row-major and copied.
+        # radiance rows. Rays are born in block order (camera_rays_u over
+        # block-ordered pixel ids, which XLA constant-folds).
         from blackhole_simulation_tpu.ops.pallas_march import (
             from_block_order,
             to_block_order,
         )
-        from blackhole_simulation_tpu.render.camera import camera_rays_indexed
 
-        h, w = scene.camera.height, scene.camera.width
         ids = to_block_order(jnp.arange(h * w, dtype=jnp.int32), h, w)
-        rays_b = camera_rays_indexed(scene.camera, bh, ids, jitter=jitter,
-                                     dtype=dtype)
-        result = march(rays_b, bh, cfg, jets=jets)
-        rgb = shade_sample_rows(result, bh, scene, dtype, rays_b)
+    else:
+        ids = None
+    rays_u = camera_rays_u(scene.camera, bh, pix_ids=ids, jitter=jitter,
+                           dtype=dtype)
+    rows = march_rows(rays_u, bh, cfg, jets=jets)
+    # Conserved impact parameter lambda = L_z/E = -p_phi/p_t; camera_rays_u
+    # normalizes p_t to -1, but compute it generally (2 cheap row ops) so
+    # externally-built rays keep working.
+    lam = -rays_u[7] / jnp.where(jnp.abs(rays_u[4]) < 1e-12, -1.0, rays_u[4])
+    rgb = shade_march_rows(rows, bh, scene, dtype, lam)
+    if use_pallas:
         rgb = tuple(from_block_order(c, h, w) for c in rgb)
-        return jnp.stack(rgb, axis=-1)
-    result = march(rays, bh, cfg, jets=jets)
-    return shade_sample(result, bh, scene, dtype, rays)
+    return jnp.stack(rgb, axis=-1)
 
 
 @partial(jax.jit, static_argnames=("n_samples", "dtype"))

@@ -148,7 +148,38 @@ def capture_mask(m, a, y0: jnp.ndarray, margin: float = 0.04) -> jnp.ndarray:
     lam = flip * pph * inv_e
     s2 = jnp.maximum(jnp.sin(th) ** 2, 1e-12)
     c2 = jnp.cos(th) ** 2
-    q = pth * pth + c2 * (pph * pph / s2 - a_signed * a_signed * pt * pt)
+    return _capture_core(
+        m, a, a_signed, flip, y0t[1], s2, c2, pt, y0t[5], pth * pth, pph,
+        lam, inv_e, margin,
+    )
+
+
+def capture_mask_u(m, a, yt_u: jnp.ndarray, margin: float = 0.04) -> jnp.ndarray:
+    """capture_mask on (8, N) u-chart rows (t, r, u, phi, p_t, p_r, p_u,
+    p_phi) — fully trig-free (s^2 = 1 - u^2, p_theta^2 = p_u^2 (1 - u^2)),
+    the row-native fast-path entry."""
+    dtype = yt_u.dtype
+    m = jnp.asarray(m, dtype)
+    a_signed = jnp.asarray(a, dtype)
+    flip = jnp.where(a_signed < 0.0, -1.0, 1.0).astype(dtype)
+    a = jnp.clip(jnp.abs(a_signed), 1e-3 * m, 0.999 * m)  # see capture_mask
+    u = yt_u[2]
+    pt, pu, pph = yt_u[4], yt_u[6], yt_u[7]
+    e = -pt
+    inv_e = 1.0 / jnp.where(jnp.abs(e) < 1e-12, 1.0, e)
+    lam = flip * pph * inv_e
+    w = 1.0 - u * u
+    s2 = jnp.maximum(w, 1e-12)
+    c2 = u * u
+    return _capture_core(
+        m, a, a_signed, flip, yt_u[1], s2, c2, pt, yt_u[5], pu * pu * w, pph,
+        lam, inv_e, margin,
+    )
+
+
+def _capture_core(m, a, a_signed, flip, r0, s2, c2, pt, pr, pth2, pph,
+                  lam, inv_e, margin):
+    q = pth2 + c2 * (pph * pph / s2 - a_signed * a_signed * pt * pt)
     eta = q * inv_e * inv_e
 
     coeffs, c_mid, c_half, lam_lo, lam_hi = _eta_crit_cheb_coeffs(m, a)
@@ -161,10 +192,8 @@ def capture_mask(m, a, y0: jnp.ndarray, margin: float = 0.04) -> jnp.ndarray:
     # (an outward ray with rootless R escapes — relevant when the cinematic
     # camera dives inside the photon shell). dr/dlam = h p_t + (D/S) p_r
     # + (a/S) p_phi with the sparse ingoing-KS contravariant components
-    # (ops/ks_kernel.ks_rhs).
-    r0, th0 = y0t[1], y0t[2]
-    pr = y0t[5]
-    ssq = r0 * r0 + a_signed * a_signed * jnp.cos(th0) ** 2
+    # (ops/ks_kernel.ks_rhs). Note Sigma = r^2 + a^2 cos^2 = r^2 + a^2 c2.
+    ssq = r0 * r0 + a_signed * a_signed * c2
     delta = r0 * r0 - 2.0 * m * r0 + a_signed * a_signed
     dr_dlam = (2.0 * m * r0 * pt + delta * pr + a_signed * pph) / ssq
     inward = dr_dlam < 0.0

@@ -221,6 +221,7 @@ def disk_emission_rows(
     dtype=jnp.float32,
     density_scale=1.0,
     intensity_scale=1.0,
+    octaves: int = 3,
 ):
     """Shade ONE recorded disk crossing: ((r, g, b) rows, alpha, valid).
 
@@ -256,7 +257,11 @@ def disk_emission_rows(
     # Wrap the phase to a bounded interval before hashing: float->int casts
     # of huge f32 values are undefined (the 1080p NaN source).
     phase = jnp.mod(phase, 2.0 * jnp.pi)
-    noise = fbm2(r_c * 1.7, phase * 3.0, octaves=3).astype(dtype)
+    # ``octaves``: turbulence LOD — slot 0 (the direct image) renders the
+    # full 3-octave field; higher-order crossings (thin lensed rings a few
+    # pixels wide) use 1 octave, the reference's own adaptive 1-3-octave
+    # fbm idea (chunks/noise.ts adaptive fbm).
+    noise = fbm2(r_c * 1.7, phase * 3.0, octaves=octaves).astype(dtype)
     turb = 1.0 - disk.turbulence + disk.turbulence * (0.4 + 1.2 * noise)
 
     # Radial emissivity/opacity profile with soft edges.
@@ -342,6 +347,7 @@ def disk_emission_lut_rows(
     dtype=jnp.float32,
     density_scale=1.0,
     intensity_scale=1.0,
+    octaves: int = 3,
 ):
     """LUT twin of disk_emission_rows: Page-Thorne T(r) + Planck/CIE color.
 
@@ -386,7 +392,11 @@ def disk_emission_lut_rows(
     omega_k = jnp.sqrt(m) / (rk * jnp.sqrt(rk) + a * jnp.sqrt(m))
     phase = phi_c - omega_k * t_c
     phase = jnp.mod(phase, 2.0 * jnp.pi)
-    noise = fbm2(r_c * 1.7, phase * 3.0, octaves=3).astype(dtype)
+    # ``octaves``: turbulence LOD — slot 0 (the direct image) renders the
+    # full 3-octave field; higher-order crossings (thin lensed rings a few
+    # pixels wide) use 1 octave, the reference's own adaptive 1-3-octave
+    # fbm idea (chunks/noise.ts adaptive fbm).
+    noise = fbm2(r_c * 1.7, phase * 3.0, octaves=octaves).astype(dtype)
     turb = 1.0 - disk.turbulence + disk.turbulence * (0.4 + 1.2 * noise)
 
     inner = jnp.clip((r_c - r_in) / (disk.inner_edge_softness * r_in + 1e-6), 0.0, 1.0)
@@ -445,24 +455,44 @@ def shade_disk_crossings(
     # whose 1-sublane degenerate tile layout ran ~8x under hardware speed.
     y0t = jax.lax.optimization_barrier(y0.T)
     lam = -y0t[7] / jnp.where(jnp.abs(y0t[4]) < 1e-12, -1.0, y0t[4])
-    n, k_slots = result.cross_r.shape
-    cr_t = result.cross_r.T
-    cp_t = result.cross_phi.T
-    ct_t = result.cross_t.T
+    return shade_crossings_rows(
+        bh, disk, result.cross_r.T, result.cross_phi.T, result.cross_t.T,
+        result.n_crossings, lam, dtype, density_scale, intensity_scale,
+        spectral,
+    )
+
+
+def shade_crossings_rows(
+    bh: Kerr,
+    disk: DiskParams,
+    cross_r,     # (K, N) march-native crossing rows
+    cross_phi,
+    cross_t,
+    n_crossings,
+    lam,         # (N,) conserved impact parameter L_z/E per ray
+    dtype=jnp.float32,
+    density_scale=1.0,
+    intensity_scale=1.0,
+    spectral: bool = False,
+):
+    """Row-native core of shade_disk_crossings (same composite)."""
+    k_slots, n = cross_r.shape
     rgb = tuple(jnp.zeros((n,), dtype=dtype) for _ in range(3))
     trans = jnp.ones((n,), dtype=dtype)
     luts = build_disk_luts(bh, disk, dtype) if spectral else None
     for k in range(k_slots):
-        filled = k < result.n_crossings
+        filled = k < n_crossings
         if spectral:
             c_rgb, c_alpha, valid = disk_emission_lut_rows(
-                disk, bh, luts, cr_t[k], cp_t[k], ct_t[k], lam,
+                disk, bh, luts, cross_r[k], cross_phi[k], cross_t[k], lam,
                 dtype, density_scale, intensity_scale,
+                octaves=3 if k == 0 else 1,
             )
         else:
             c_rgb, c_alpha, valid = disk_emission_rows(
-                disk, bh, cr_t[k], cp_t[k], ct_t[k], lam,
+                disk, bh, cross_r[k], cross_phi[k], cross_t[k], lam,
                 dtype, density_scale, intensity_scale,
+                octaves=3 if k == 0 else 1,
             )
         w = jnp.where(filled & valid, trans * c_alpha, 0.0)
         rgb = tuple(acc + w * c for acc, c in zip(rgb, c_rgb))
@@ -563,6 +593,33 @@ def escape_direction_rows(rows, bh: Kerr):
     st, ct = s, jnp.cos(th)
     sp, cp = jnp.sin(ph), jnp.cos(ph)
     # Spherical basis -> Cartesian.
+    dx = v_r * st * cp + v_th * ct * cp - v_ph * sp
+    dy = v_r * st * sp + v_th * ct * sp + v_ph * cp
+    dz = v_r * ct - v_th * st
+    inv_n = 1.0 / jnp.sqrt(jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-30))
+    return dx * inv_n, dy * inv_n, dz * inv_n
+
+
+def escape_direction_u_rows(rows_u, bh: Kerr):
+    """escape_direction_rows on u-chart rows (t, r, u, ph, p_t, p_r, p_u,
+    p_phi) — the march's native form: sin(theta) = sqrt(1 - u^2) and
+    p_theta = -p_u sin(theta) replace the per-ray theta trig (only the
+    phi sin/cos remain)."""
+    _, r, u, ph, pt, pr, pu, pph = rows_u
+    u = jnp.clip(u, -1.0, 1.0)
+    w = jnp.maximum(1.0 - u * u, 1e-12)
+    s = jnp.sqrt(w)
+    m = bh.mass.astype(r.dtype)
+    a = bh.spin.astype(r.dtype)
+    sig = r * r + a * a * u * u
+    delta = r * r - 2.0 * m * r + a * a
+    inv_sig = 1.0 / sig
+    h = 2.0 * m * r * inv_sig
+    v_r = h * pt + delta * inv_sig * pr + a * inv_sig * pph
+    v_th = -r * pu * s * inv_sig          # r p^theta with p_th = -p_u s
+    v_ph = r * s * (a * inv_sig * pr + pph * inv_sig / w)
+    st, ct = s, u
+    sp, cp = jnp.sin(ph), jnp.cos(ph)
     dx = v_r * st * cp + v_th * ct * cp - v_ph * sp
     dy = v_r * st * sp + v_th * ct * sp + v_ph * cp
     dz = v_r * ct - v_th * st
