@@ -143,7 +143,10 @@ def _march_kernel(params_ref, y_ref, thr_ref, yo_ref, hit_ref, steps_ref,
     slot_ids = jax.lax.broadcasted_iota(jnp.int32, (k_slots, SUB, LANE), 0)
 
     t0_, r0_, u0_, ph0_ = yt0[0], yt0[1], yt0[2], yt0[3]
-    pt_, pr0_, pu0_, pph_ = yt0[4], yt0[5], yt0[6], yt0[7]
+    pr0_, pu0_, pph_ = yt0[5], yt0[6], yt0[7]
+    # p_t is the compile-time scalar -1 (pallas_march_u normalizes the
+    # momentum rows); every p_t^2 / p_t-cross term in the step folds.
+    pt_ = F(-1.0)
 
     hit0 = jnp.where(r0_ < thr, I(HIT_HORIZON), I(HIT_NONE))
     zeros_k = jnp.zeros((k_slots, SUB, LANE), dtype=dt)
@@ -156,6 +159,9 @@ def _march_kernel(params_ref, y_ref, thr_ref, yo_ref, hit_ref, steps_ref,
     # frame because of exactly this). Runtime is insensitive: the while
     # back-edge costs what the per-step exit branch it replaced did.
     exit_every = min(cfg.exit_check_every, cfg.max_steps)
+    # Renorm can hoist to the block boundary only when boundaries land
+    # exactly on the renorm cadence.
+    hoist_renorm = (cfg.renormalize_every % exit_every) == 0
 
     def cond(carry):
         i, hit = carry[0], carry[7]
@@ -164,6 +170,16 @@ def _march_kernel(params_ref, y_ref, thr_ref, yo_ref, hit_ref, steps_ref,
         # jax_enable_x64 is on, which mosaic rejects.)
         n_live = jnp.max(jnp.where(hit == I(HIT_NONE), I(1), I(0)))
         return (i < I(cfg.max_steps)) & (n_live > I(0))
+
+    # Exact division in interpret mode (bit-parity with the jnp path), TPU
+    # approximate-reciprocal + multiply on hardware (the periodic
+    # renormalization absorbs the truncation).
+    if approx_recip:
+        div = lambda num, den: num * pl.reciprocal(den, approx=True)
+        recip = lambda x: pl.reciprocal(x, approx=True)
+    else:
+        div = lambda num, den: num / den
+        recip = None
 
     def body(carry):
         i, t, r, u, ph, pr, pu, hit, steps, cr, cp, ct, nc, rmin = carry
@@ -188,27 +204,14 @@ def _march_kernel(params_ref, y_ref, thr_ref, yo_ref, hit_ref, steps_ref,
         du_rate = jnp.abs(w * pu / sig) + F(1e-12)
         margin = F(1.0) - jnp.abs(u) + F(1e-6)
         dlam = jnp.minimum(
-            dlam, jnp.maximum(F(0.5) * margin / du_rate, F(cfg.min_step))
+            dlam, jnp.maximum(div(F(0.5) * margin, du_rate), F(cfg.min_step))
         )
 
-        recip = (
-            (lambda x: pl.reciprocal(x, approx=True)) if approx_recip else None
-        )
         nt, nr, nu, nph, npr, npu = ks_symplectic_step_rows(
             m, a, (t, r, u, ph, pt_, pr, pu, pph_), dlam,
             cfg.midpoint_iters, recip,
         )
         nu = jnp.clip(nu, F(-1.0 + 1e-7), F(1.0 - 1e-7))
-
-        # Periodic null renormalization as a scalar-predicated vector select
-        # — the SAME masked form as the jnp path (render/march.py), so the
-        # two paths share even this part of the expression DAG. A lax.cond
-        # here would trace the body twice and stall the vector pipeline on a
-        # scalar branch; the select costs ~25 always-on vector ops instead.
-        renorm_now = (i % I(cfg.renormalize_every)) == I(cfg.renormalize_every - 1)
-        npr = jnp.where(
-            renorm_now, ks_renormalize_pr(m, a, nr, nu, pt_, npr, npu, pph_), npr
-        )
 
         # Equator-crossing record, unconditionally masked: the earlier
         # tile-level lax.cond needed a cross-lane any() reduce + scalar
@@ -216,7 +219,7 @@ def _march_kernel(params_ref, y_ref, thr_ref, yo_ref, hit_ref, steps_ref,
         # ~K masked selects it saved.
         maybe = active & ((u * nu) < F(0.0)) & (nc < I(k_slots))
         frac = jnp.clip(
-            u / jnp.where(jnp.abs(u - nu) < F(1e-12), F(1e-12), u - nu),
+            div(u, jnp.where(jnp.abs(u - nu) < F(1e-12), F(1e-12), u - nu)),
             F(0.0),
             F(1.0),
         )
@@ -255,16 +258,45 @@ def _march_kernel(params_ref, y_ref, thr_ref, yo_ref, hit_ref, steps_ref,
 
         hit = jnp.where(active & (r < thr), I(HIT_HORIZON), hit)
         hit = jnp.where(active & (r > F(cfg.escape_radius)), I(HIT_ESCAPE), hit)
+        if not hoist_renorm:
+            # Fallback (renormalize_every not a multiple of exit_every):
+            # masked per-step renorm with the same post-advance semantics
+            # as the jnp path.
+            rn = (i % I(cfg.renormalize_every)) == I(cfg.renormalize_every - 1)
+            pr = jnp.where(
+                rn & (hit == I(HIT_NONE)),
+                ks_renormalize_pr(m, a, r, u, pt_, pr, pu, pph_),
+                pr,
+            )
         return i + I(1), t, r, u, ph, pr, pu, hit, steps, cr, cp, ct, nc, rmin
+
+    def _apply_renorm(c):
+        i, t, r, u, ph, pr, pu, hit, steps, cr, cp, ct, nc, rmin = c
+        pr = jnp.where(
+            hit == I(HIT_NONE),
+            ks_renormalize_pr(m, a, r, u, pt_, pr, pu, pph_),
+            pr,
+        )
+        return i, t, r, u, ph, pr, pu, hit, steps, cr, cp, ct, nc, rmin
 
     def body_block(carry):
         # exit_every steps per tile-exit check; dynamic-bound while_loop so
         # Mosaic cannot unroll it (see exit_every comment above). The body
         # is traced exactly ONCE in the whole kernel.
         j0 = carry[0]
-        return jax.lax.while_loop(
+        carry = jax.lax.while_loop(
             lambda c: c[0] < j0 + I(exit_every), body, carry
         )
+        if hoist_renorm:
+            # Periodic null renormalization hoisted to the tile-exit
+            # boundary: one scalar-predicated evaluation per
+            # exit_check_every steps instead of a ~25-op masked quadratic
+            # every step (the jnp path implements the identical
+            # post-advance/still-active semantics per step — same inputs,
+            # same projected p_r, near-bitwise parity preserved).
+            due = (carry[0] % I(cfg.renormalize_every)) == I(0)
+            carry = jax.lax.cond(due, _apply_renorm, lambda c: c, carry)
+        return carry
 
     carry = (
         jnp.int32(0),
@@ -281,7 +313,9 @@ def _march_kernel(params_ref, y_ref, thr_ref, yo_ref, hit_ref, steps_ref,
     _, t, r, u, ph, pr, pu, hit, steps, cr, cp, ct, nc, rmin = out
     hit = jnp.where(hit == I(HIT_NONE), I(HIT_HORIZON), hit)
 
-    yo_ref[0] = jnp.stack([t, r, u, ph, pt_, pr, pu, pph_])
+    yo_ref[0] = jnp.stack(
+        [t, r, u, ph, jnp.full_like(t, pt_), pr, pu, pph_]
+    )
     hit_ref[0] = hit
     steps_ref[0] = steps
     cr_ref[0] = cr
@@ -301,6 +335,13 @@ def pallas_march_u(yt0: jnp.ndarray, thr: jnp.ndarray, m, a, r_h, r_ph, cfg,
     march internals. N is padded to a TILE multiple internally.
     """
     n = yt0.shape[1]
+    # Affine-normalize to p_t = -1 (march_rows already does this — an exact
+    # multiply-by-one there — but direct callers may pass raw rays): the
+    # kernel hard-codes p_t as the scalar -1 and folds its terms.
+    inv_e = -1.0 / jnp.where(jnp.abs(yt0[4]) < 1e-12, -1.0, yt0[4])
+    yt0 = jnp.concatenate(
+        [yt0[:4], -jnp.ones_like(yt0[4:5]), yt0[5:8] * inv_e[None, :]], axis=0
+    )
     n_pad = _cdiv(n, TILE) * TILE
     if n_pad != n:
         # Padded rays are born at r = 0 with a huge termination radius:

@@ -295,6 +295,21 @@ def march_rows(
     if thr is None:
         thr = precull_threshold(yt0, bh, cfg)
 
+    # Affine-normalize to p_t = -1 (null geodesics are invariant under
+    # momentum rescaling; every camera ray has p_t < 0). Pins the conserved
+    # p_t row to a compile-time constant, which the Pallas kernel folds out
+    # of every step (camera_rays_u already emits normalized rays, making
+    # this an exact multiply-by-one for the render pipeline).
+    inv_e = -1.0 / jnp.where(jnp.abs(yt0[4]) < 1e-12, -1.0, yt0[4])
+    yt0 = jnp.concatenate(
+        [
+            yt0[:4],
+            -jnp.ones_like(yt0[4:5]),
+            yt0[5:8] * inv_e[None, :],
+        ],
+        axis=0,
+    )
+
     yt0 = ks_renormalize_u(m_bh, a_bh, yt0)
 
     if cfg.use_pallas and jets is None:
@@ -323,7 +338,11 @@ def march_rows(
     # is what keeps the two paths near-bitwise equal: any ulp-level FMA or
     # fusion difference amplifies through chaotic photon-ring rays.
     t0s, r0s, u0s, ph0s = yt0[0], yt0[1], yt0[2], yt0[3]
-    pt_c, pr0s, pu0s, pph_c = yt0[4], yt0[5], yt0[6], yt0[7]
+    pr0s, pu0s, pph_c = yt0[5], yt0[6], yt0[7]
+    # p_t is the compile-time scalar -1 after the normalization above: the
+    # step algebra's p_t^2 and p_t-cross terms constant-fold in both the
+    # jnp trace and the Mosaic kernel (same DAG, same folding).
+    pt_c = jnp.asarray(-1.0, dtype)
 
     # Benign far-field values substituted into the step for terminated rays
     # (the "double-where" rule): a frozen ray's discarded y_next can still
@@ -382,14 +401,6 @@ def march_rows(
             )  # (3, N)
             jet_rgb = jet_rgb + jnp.where(active[None, :], contrib, 0.0)
 
-        # Periodic null renormalization to hold H = 0 in low precision.
-        renorm = (i % cfg.renormalize_every) == cfg.renormalize_every - 1
-        npr = jnp.where(
-            renorm,
-            ks_renormalize_pr(m_bh, a_bh, nr, nu, pt_c, npr, npu, pph_c),
-            npr,
-        )
-
         # Equator-crossing detection: u sign change; interpolate the record
         # (chunks/disk.ts:22-31 / compute.wgsl.ts:217, recorded not shaded).
         frac = jnp.clip(
@@ -441,6 +452,18 @@ def march_rows(
 
         hit = jnp.where(active & (r < thr), HIT_HORIZON, hit)
         hit = jnp.where(active & (r > cfg.escape_radius), HIT_ESCAPE, hit)
+
+        # Periodic null renormalization to hold H = 0 in low precision —
+        # applied to the post-advance carry of still-active rays, the same
+        # semantics the Pallas kernel implements at its tile-exit block
+        # boundaries (where it costs one predicated evaluation per
+        # exit_check_every steps instead of a masked quadratic every step).
+        renorm = (i % cfg.renormalize_every) == cfg.renormalize_every - 1
+        pr = jnp.where(
+            renorm & (hit == HIT_NONE),
+            ks_renormalize_pr(m_bh, a_bh, r, u, pt_c, pr, pu, pph_c),
+            pr,
+        )
         if cfg.cotangent_clip > 0.0:
             # Bound the adjoint ONCE per step (identity in the forward pass;
             # XLA folds the stack/unstack). See MarchConfig.cotangent_clip.
@@ -493,7 +516,9 @@ def march_rows(
     else:
         out = jax.lax.fori_loop(0, cfg.max_steps, body, carry)
     t, r, u, ph, pr, pu, hit, steps, cr, cp, ct, ncross, jet_rgb, rmin = out
-    yt = jnp.stack([t, r, u, ph, pt_c, pr, pu, pph_c], axis=0)
+    yt = jnp.stack(
+        [t, r, u, ph, jnp.broadcast_to(pt_c, t.shape), pr, pu, pph_c], axis=0
+    )
     # Step budget exhausted while still live: closest to a horizon-bound ray
     # (photon-ring orbiters) — classify as horizon like the reference's cap.
     hit = jnp.where(hit == HIT_NONE, HIT_HORIZON, hit)
