@@ -115,41 +115,33 @@ def from_block_order(x: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
     return x[:height, :width].reshape(height * width, *tail)
 
 
-def _march_kernel(params_ref, y_ref, thr_ref, yo_ref, hit_ref, steps_ref,
-                  cr_ref, cp_ref, ct_ref, nc_ref, rmin_ref, *, cfg,
-                  approx_recip=False):
-    yt0 = y_ref[0]  # (8, SUB, LANE): 8 state rows, each one full VPU vreg
-    # Per-ray termination radius (horizon_r, or the pre-cull stop radius).
-    thr = thr_ref[0]
-    # The state is carried as 6 separate evolving rows (t, r, u, phi, p_r,
-    # p_u) plus 2 loop-invariant conserved rows (p_t, p_phi) captured by the
-    # loop body — not as one (8, SUB, LANE) block. The block form paid two
-    # zero-row FMAs per RHS eval, an 8-row iota-mask select for the u clip,
-    # and 8-row advance selects every step; rows cost exactly what they use.
-    dt = yt0.dtype
+def march_tile(m, a, r_h, r_ph, thr, rows0, cfg, approx_recip=False):
+    """The VMEM-resident march loop on one tile of rays.
+
+    ``rows0``: 7 arrays (t, r, u, ph, p_r, p_u, p_phi) of a common 2-D
+    (sublane, lane) shape — p_t is the implicit scalar -1 (callers
+    normalize). Shared by the march-only kernel (_march_kernel) and the
+    fused render kernel (ops/pallas_render.py). Returns
+    (t, r, u, ph, pr, pu, hit, steps, cr, cp, ct, nc, rmin).
+    """
+    t0_, r0_, u0_, ph0_, pr0_, pu0_, pph_ = rows0
+    dt = r0_.dtype
+    shape = r0_.shape
     # Every numeric literal must be dtype-typed: with jax_enable_x64 on,
     # bare python floats/ints inside clip/where materialize f64/i64 scalars,
     # and mosaic's 64-bit emulation path blows the recursion limit.
     F = lambda v: jnp.asarray(v, dt)
     I = lambda v: jnp.asarray(v, jnp.int32)
-
-    m = params_ref[0, 0]
-    a = params_ref[0, 1]
-    r_h = params_ref[0, 2]
-    r_ph = params_ref[0, 3]
     inv_rph = F(1.0) / jnp.maximum(r_ph, F(1e-3))  # scalar, hoisted
 
     k_slots = cfg.max_crossings
-    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (k_slots, SUB, LANE), 0)
+    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (k_slots,) + shape, 0)
 
-    t0_, r0_, u0_, ph0_ = yt0[0], yt0[1], yt0[2], yt0[3]
-    pr0_, pu0_, pph_ = yt0[5], yt0[6], yt0[7]
-    # p_t is the compile-time scalar -1 (pallas_march_u normalizes the
-    # momentum rows); every p_t^2 / p_t-cross term in the step folds.
+    # p_t is the compile-time scalar -1; every p_t term in the step folds.
     pt_ = F(-1.0)
 
     hit0 = jnp.where(r0_ < thr, I(HIT_HORIZON), I(HIT_NONE))
-    zeros_k = jnp.zeros((k_slots, SUB, LANE), dtype=dt)
+    zeros_k = jnp.zeros((k_slots,) + shape, dtype=dt)
 
     # The tile-exit reduce+branch amortizes over `exit_check_every` steps.
     # The block interior is a lax.while_loop, NOT a fori_loop: Mosaic
@@ -302,19 +294,38 @@ def _march_kernel(params_ref, y_ref, thr_ref, yo_ref, hit_ref, steps_ref,
         jnp.int32(0),
         t0_, r0_, u0_, ph0_, pr0_, pu0_,
         hit0,
-        jnp.zeros((SUB, LANE), jnp.int32),
+        jnp.zeros(shape, jnp.int32),
         zeros_k,
         zeros_k,
         zeros_k,
-        jnp.zeros((SUB, LANE), jnp.int32),
+        jnp.zeros(shape, jnp.int32),
         jnp.abs(r0_ - r_ph),
     )
     out = jax.lax.while_loop(cond, body_block, carry)
     _, t, r, u, ph, pr, pu, hit, steps, cr, cp, ct, nc, rmin = out
     hit = jnp.where(hit == I(HIT_NONE), I(HIT_HORIZON), hit)
+    return t, r, u, ph, pr, pu, hit, steps, cr, cp, ct, nc, rmin
 
+
+def _march_kernel(params_ref, y_ref, thr_ref, yo_ref, hit_ref, steps_ref,
+                  cr_ref, cp_ref, ct_ref, nc_ref, rmin_ref, *, cfg,
+                  approx_recip=False):
+    yt0 = y_ref[0]  # (8, SUB, LANE): 8 state rows, each one full VPU vreg
+    # The state is carried as 6 separate evolving rows (t, r, u, phi, p_r,
+    # p_u) plus the conserved p_phi row captured by the loop body (p_t is
+    # the implicit scalar -1) — not as one (8, SUB, LANE) block. The block
+    # form paid zero-row FMAs per RHS eval and 8-row advance selects every
+    # step; rows cost exactly what they use.
+    m = params_ref[0, 0]
+    a = params_ref[0, 1]
+    r_h = params_ref[0, 2]
+    r_ph = params_ref[0, 3]
+    rows0 = (yt0[0], yt0[1], yt0[2], yt0[3], yt0[5], yt0[6], yt0[7])
+    t, r, u, ph, pr, pu, hit, steps, cr, cp, ct, nc, rmin = march_tile(
+        m, a, r_h, r_ph, thr_ref[0], rows0, cfg, approx_recip
+    )
     yo_ref[0] = jnp.stack(
-        [t, r, u, ph, jnp.full_like(t, pt_), pr, pu, pph_]
+        [t, r, u, ph, jnp.full_like(t, -1.0), pr, pu, yt0[7]]
     )
     hit_ref[0] = hit
     steps_ref[0] = steps

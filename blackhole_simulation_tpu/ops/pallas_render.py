@@ -1,0 +1,455 @@
+"""Fused render megakernel: ray birth -> precull -> march -> shading, one
+Pallas program per 32x128-pixel tile, entirely in VMEM.
+
+The staged pipeline (camera_rays_u -> capture_mask_u -> pallas_march_u ->
+shade_march_rows) streams every intermediate — rays (64 MB), termination
+radii, the full MarchResult (~200 MB), radiance rows — through HBM between
+programs; at 1080p that glue measured ~10 ms/frame against ~14 ms of march
+(tools/probe_stages.py, r4). This kernel keeps a tile's entire lifetime
+resident in VMEM: pixel coordinates come from the 2-D grid position, the
+ray is built from ~30 SMEM scalars (camera_scalars), the shadow precull
+evaluates the same Chebyshev critical curve from SMEM coefficients, the
+march loop is the shared ops/pallas_march.march_tile, and the disk /
+starfield / photon-ring composite writes three (H, W) radiance planes —
+the kernel's only HBM traffic.
+
+Writing row-major planes through a 2-D grid also deletes the
+to/from_block_order relayouts: the BlockSpec index map IS the tile
+decomposition (the reference's screen-tile queue, _legacy_src/tiling.rs).
+
+Shading twins: the disk slot composite mirrors shading.shade_crossings_rows
+/ disk_emission_rows (same expressions, r_in passed as a scalar because
+Mosaic cannot lower the ISCO's cbrt/arccos); the spectral path evaluates
+shading.spectral_cheb_coeffs series by Clenshaw instead of LUT gathers
+(no per-lane dynamic gather on TPU); the starfield and escape direction
+call the exact shading.py functions. Parity with the jnp path is asserted
+in tests/test_fused.py.
+
+Forward-only (like the march kernel): AD paths keep the jnp march.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from blackhole_simulation_tpu.ops.ks_kernel import ks_renormalize_pr
+from blackhole_simulation_tpu.ops.pallas_march import (
+    LANE,
+    SUB,
+    _cdiv,
+    march_tile,
+)
+from blackhole_simulation_tpu.render.precull import _CHEB_ERR, _CHEB_K
+from blackhole_simulation_tpu.render.shading import (
+    SPECTRAL_CHEB_K,
+    SPECTRAL_T_HI,
+    SPECTRAL_T_LO,
+    _powi,
+    _smooth,
+    blackbody_ramp_rows,
+    disk_emission_rows,
+    equatorial_g_factor,
+    escape_direction_u_rows,
+    fbm2,
+    starfield_rows,
+)
+
+# SMEM parameter-row layout (f32 scalars; coefficient blocks appended).
+_P_M = 0          # mass
+_P_A = 1          # signed spin
+_P_RH = 2         # event horizon r+
+_P_RPH = 3        # prograde photon sphere
+_P_ISCO = 4       # prograde ISCO (disk inner edge)
+_P_STOPR = 5      # precull stop radius
+_P_HORTHR = 6     # horizon_factor * r_h termination radius
+_P_R0 = 7         # camera r
+_P_U0 = 8         # camera u = cos(theta)
+_P_S0 = 9         # camera sin(theta)
+_P_PH0 = 10       # camera phi
+_P_K1 = 11        # tan(fov/2) * aspect
+_P_K2 = 12        # tan(fov/2)
+_P_ROLLC = 13
+_P_ROLLS = 14
+_P_JX = 15        # sub-pixel jitter
+_P_JY = 16
+_P_C0 = 17        # 4 KS-lowered tetrad coefficient 4-vectors: 17..32
+_P_CR = 21
+_P_CTH = 25
+_P_CPH = 29
+_P_CHEB_MID = 33  # precull critical-curve Chebyshev domain
+_P_CHEB_HALF = 34
+_P_LAM_LO = 35
+_P_LAM_HI = 36
+_P_FLIP = 37      # sign(a) isometry flip for the precull lam
+_P_ACHEB = 38     # |a| clamped to the Chebyshev fit's validated range
+_P_INV_LOGR = 39  # 1 / log(r_out / r_in) (spectral t-shape domain)
+_P_ETA = 40                       # precull eta_c coeffs, _CHEB_K wide
+_P_TSHAPE = _P_ETA + _CHEB_K      # spectral t-shape coeffs
+_P_RGB = _P_TSHAPE + SPECTRAL_CHEB_K   # 3 x SPECTRAL_CHEB_K rgb coeffs
+_P_TOTAL = _P_RGB + 3 * SPECTRAL_CHEB_K
+_P_PAD = _cdiv(_P_TOTAL, 128) * 128
+
+
+def _clenshaw(coeffs, t):
+    """Chebyshev series at t in [-1, 1] from a list of scalar coefficients
+    — the same recurrence as precull._cheb_eval (shared-DAG parity)."""
+    b1 = jnp.zeros_like(t)
+    b2 = jnp.zeros_like(t)
+    for j in range(len(coeffs) - 1, 0, -1):
+        b1, b2 = 2.0 * t * b1 - b2 + coeffs[j], b1
+    return t * b1 - b2 + coeffs[0]
+
+
+def _clenshaw_smem(params_ref, base: int, K: int, t):
+    """Clenshaw over SMEM coefficients via a fori_loop with dynamic scalar
+    reads. The unrolled form held K live scalars per series across the
+    composite (4 slots x 4 series x 16 = 256 loads): Mosaic's scheduler
+    went superlinear and the spectral kernel compiled in ~140 s vs ~5 s
+    analytic; this loop form compiles flat and costs ~2 vector FMAs per
+    coefficient at run time (identical arithmetic order, so it stays
+    bit-equal to _clenshaw / precull._cheb_eval)."""
+
+    def body(n, carry):
+        b1, b2 = carry
+        j = K - 1 - n
+        c = params_ref[0, base + j]
+        return 2.0 * t * b1 - b2 + c, b1
+
+    # carry seeded from t itself: a replicated zeros constant trips a
+    # Mosaic relayout check when carried through the loop
+    b1, b2 = jax.lax.fori_loop(0, K - 1, body, (t * 0.0, t * 0.0))
+    return t * b1 - b2 + params_ref[0, base]
+
+
+def _render_kernel(params_ref, r_ref, g_ref, b_ref, *, cfg, features, disk,
+                   stars, width, height, approx_recip, precull_on):
+    dt = r_ref.dtype
+    F = lambda v: jnp.asarray(v, dt)
+    sp = lambda i: params_ref[0, i]
+
+    m = sp(_P_M)
+    a = sp(_P_A)
+    r_h = sp(_P_RH)
+    r_ph = sp(_P_RPH)
+    r_in = sp(_P_ISCO)
+
+    shape = (SUB, LANE)
+    gi = pl.program_id(0)
+    gj = pl.program_id(1)
+    iy = (jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+          + gi * SUB).astype(dt)
+    ix = (jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+          + gj * LANE).astype(dt)
+
+    # --- camera ray (camera_rays_u twin, from camera_scalars scalars) ---
+    nx = (ix + 0.5 + sp(_P_JX)) / F(width) * 2.0 - 1.0
+    ny = 1.0 - (iy + 0.5 + sp(_P_JY)) / F(height) * 2.0
+    cx = nx * sp(_P_K1)
+    cy = ny * sp(_P_K2)
+    cx, cy = (cx * sp(_P_ROLLC) - cy * sp(_P_ROLLS),
+              cx * sp(_P_ROLLS) + cy * sp(_P_ROLLC))
+    inv_norm = F(1.0) / jnp.sqrt(1.0 + cx * cx + cy * cy)
+    n_r = -inv_norm
+    n_th = -cy * inv_norm
+    n_ph = -cx * inv_norm
+    p = [sp(_P_C0 + j) + n_r * sp(_P_CR + j) + n_th * sp(_P_CTH + j)
+         + n_ph * sp(_P_CPH + j) for j in range(4)]
+    inv = F(1.0) / (-p[0])
+    s0 = sp(_P_S0)
+    pr = p[1] * inv
+    pu = -(p[2] * inv) / s0
+    pph = p[3] * inv
+
+    zero = jnp.zeros(shape, dt)
+    r_row = zero + sp(_P_R0)
+    u_row = zero + sp(_P_U0)
+    ph_row = zero + sp(_P_PH0)
+    pt_ = F(-1.0)
+
+    # Null projection at birth (march_rows twin).
+    pr = ks_renormalize_pr(m, a, r_row, u_row, pt_, pr, pu, pph)
+
+    # --- shadow precull (capture_mask_u twin; eta_c from SMEM Chebyshev) ---
+    hor_thr = sp(_P_HORTHR)
+    if precull_on:
+        flip = sp(_P_FLIP)
+        lam = flip * pph           # inv_e = 1 with p_t = -1
+        w0 = 1.0 - u_row * u_row
+        s2 = jnp.maximum(w0, F(1e-12))
+        c2 = u_row * u_row
+        q = pu * pu * w0 + c2 * (pph * pph / s2 - a * a)
+        eta = q
+        t_dom = jnp.clip(
+            (lam - sp(_P_CHEB_MID)) / sp(_P_CHEB_HALF), F(-1.0), F(1.0)
+        )
+        eta_crit = (
+            _clenshaw_smem(params_ref, _P_ETA, _CHEB_K, t_dom)
+            - F(_CHEB_ERR) * m * m
+        )
+        margin = F(0.04)
+        inside = eta < eta_crit * (1.0 - margin) - margin * m * m
+        in_range = (lam > sp(_P_LAM_LO)) & (lam < sp(_P_LAM_HI))
+        ssq = r_row * r_row + a * a * c2
+        delta = r_row * r_row - 2.0 * m * r_row + a * a
+        dr_dlam = (2.0 * m * r_row * pt_ + delta * pr + a * pph) / ssq
+        dead = in_range & inside & (eta >= F(0.0)) & (dr_dlam < F(0.0))
+        thr = jnp.where(dead, sp(_P_STOPR), hor_thr)
+    else:
+        thr = zero + hor_thr
+
+    # --- march (shared VMEM tile loop) ---
+    rows0 = (zero, r_row, u_row, ph_row, pr, pu, pph)
+    t, r, u, ph, pr_f, pu_f, hit, steps, cr, cp, ct, nc, rmin = march_tile(
+        m, a, r_h, r_ph, thr, rows0, cfg, approx_recip
+    )
+
+    # --- composite (shade_march_rows twin) ---
+    from blackhole_simulation_tpu.render.march import HIT_ESCAPE
+
+    escaped = hit == HIT_ESCAPE
+    lam_row = pph  # -p_phi / p_t with p_t = -1
+    rgb = (zero, zero, zero)
+    trans = zero + F(1.0)
+    if features.disk:
+        from blackhole_simulation_tpu.geometry.metrics import KS, Kerr
+
+        bh_s = Kerr(mass=m, spin=a, chart=KS)
+        for k in range(cfg.max_crossings):
+            filled = k < nc
+            octaves = 3 if k == 0 else 1
+            if features.spectral_lut:
+                c_rgb, c_alpha, valid = _disk_slot_spectral(
+                    params_ref, sp(_P_INV_LOGR), disk, m, a, r_in,
+                    cr[k], cp[k], ct[k], lam_row, dt, octaves,
+                )
+            else:
+                c_rgb, c_alpha, valid = disk_emission_rows(
+                    disk, bh_s, cr[k], cp[k], ct[k], lam_row, dt,
+                    octaves=octaves, r_in=r_in,
+                )
+            wgt = jnp.where(filled & valid, trans * c_alpha, F(0.0))
+            rgb = tuple(acc + wgt * c for acc, c in zip(rgb, c_rgb))
+            trans = jnp.where(filled & valid, trans * (1.0 - c_alpha), trans)
+
+    if features.starfield:
+        from blackhole_simulation_tpu.geometry.metrics import KS, Kerr
+
+        bh_s = Kerr(mass=m, spin=a, chart=KS)
+        dummy = (0.0, 100.0, 0.0, 0.0, -1.0, -1.0, 0.0, 0.0)
+        fin = (t, r, u, ph, zero + pt_, pr_f, pu_f, pph)
+        srows = tuple(
+            jnp.where(escaped, fin[i], F(dummy[i])) for i in range(8)
+        )
+        bg = starfield_rows(*escape_direction_u_rows(srows, bh_s),
+                            params=stars)
+        w_bg = jnp.where(escaped, trans, F(0.0))
+        rgb = tuple(c + w_bg * b for c, b in zip(rgb, bg))
+
+    if features.photon_ring_glow:
+        near = jnp.exp(-14.0 * rmin / jnp.maximum(r_ph, F(1e-3)))
+        glow = jnp.where(escaped, 0.6 * near, F(0.0))
+        order = jnp.clip(nc, 0, 3).astype(dt) / 3.0
+        warm = (1.0, 0.82, 0.55)
+        cool = (0.82, 0.88, 1.0)
+        rgb = tuple(
+            c + glow * (F(w) + order * F(k - w))
+            for c, w, k in zip(rgb, warm, cool)
+        )
+
+    r_ref[...] = rgb[0]
+    g_ref[...] = rgb[1]
+    b_ref[...] = rgb[2]
+
+
+def _disk_slot_spectral(params_ref, inv_logr, disk, m, a, r_in, r_c,
+                        phi_c, t_c, lam, dt, octaves):
+    """Spectral (Page-Thorne + Planck/CIE) slot shading, Chebyshev form.
+
+    Twin of shading.disk_emission_lut_rows with the two LUT lookups
+    replaced by Clenshaw series (see spectral_cheb_coeffs); geometry,
+    turbulence and opacity are the identical expressions.
+    """
+    F = lambda v: jnp.asarray(v, dt)
+    valid = (r_c > r_in) & (r_c < disk.outer_radius)
+    r_c = jnp.where(valid, r_c, r_in * 2.0)
+    phi_c = jnp.where(valid, phi_c, F(0.0))
+    t_c = jnp.where(valid, t_c, F(0.0))
+
+    g = equatorial_g_factor(m, a, jnp.maximum(r_c, r_in), lam, dt)
+    g = jnp.clip(g, 0.05, 5.0)
+
+    # t_shape series on the sqrt(log r) domain (spectral_cheb_coeffs)
+    x01 = jnp.log(jnp.maximum(r_c / r_in, 1e-6)) * inv_logr
+    xs = jnp.sqrt(jnp.clip(x01, F(0.0), F(1.0)))
+    tx = jnp.clip(2.0 * xs - 1.0, F(-1.0), F(1.0))
+    t_shape = jnp.clip(
+        _clenshaw([params_ref[0, _P_TSHAPE + j]
+                   for j in range(SPECTRAL_CHEB_K)], tx),
+        F(0.0), F(1.0),
+    )
+    t_obs = jnp.clip(g * t_shape * disk.t_peak, SPECTRAL_T_LO, SPECTRAL_T_HI)
+
+    # rgb(T) series on the ^2.5-warp domain. Non-negative floor only: the
+    # Planck/CIE table is unnormalized linear radiance (values reach
+    # O(1e3) at blueshifted T), not a [0, 1] chromaticity.
+    y01 = ((t_obs - SPECTRAL_T_LO) / (SPECTRAL_T_HI - SPECTRAL_T_LO)) ** 0.4
+    ty = jnp.clip(2.0 * y01 - 1.0, F(-1.0), F(1.0))
+    color = tuple(
+        jnp.maximum(
+            _clenshaw([params_ref[0, _P_RGB + c * SPECTRAL_CHEB_K + j]
+                       for j in range(SPECTRAL_CHEB_K)], ty),
+            F(0.0),
+        )
+        for c in range(3)
+    )
+
+    rk = jnp.maximum(r_c, r_in)
+    omega_k = jnp.sqrt(m) / (rk * jnp.sqrt(rk) + a * jnp.sqrt(m))
+    phase = phi_c - omega_k * t_c
+    phase = jnp.mod(phase, 2.0 * jnp.pi)
+    noise = fbm2(r_c * 1.7, phase * 3.0, octaves=octaves).astype(dt)
+    turb = 1.0 - disk.turbulence + disk.turbulence * (0.4 + 1.2 * noise)
+
+    inner = jnp.clip(
+        (r_c - r_in) / (disk.inner_edge_softness * r_in + 1e-6), 0.0, 1.0
+    )
+    edge = _smooth(inner) * jnp.clip(
+        (disk.outer_radius - r_c) / (0.15 * disk.outer_radius), 0.0, 1.0
+    )
+    alpha = jnp.clip(disk.density * edge * turb, 0.0, 1.0)
+    alpha = jnp.where(valid, alpha, F(0.0))
+
+    intensity = _powi(g, 4.0) * t_shape ** 4
+    masked = jnp.where(valid, intensity, F(0.0))
+    return tuple(c * masked for c in color), alpha, valid
+
+
+@functools.partial(jax.jit, static_argnames=("scene_static", "interpret"))
+def _pallas_render(params_row, scene_static, interpret):
+    cfg, features, disk, stars, width, height = scene_static
+    hp = _cdiv(height, SUB) * SUB
+    wp = _cdiv(width, LANE) * LANE
+    grid = (hp // SUB, wp // LANE)
+    kernel = functools.partial(
+        _render_kernel,
+        cfg=cfg,
+        features=features,
+        disk=disk,
+        stars=stars,
+        width=width,
+        height=height,
+        approx_recip=cfg.approx_recip and not interpret,
+        precull_on=cfg.shadow_precull,
+    )
+    out_shapes = tuple(
+        jax.ShapeDtypeStruct((hp, wp), jnp.float32) for _ in range(3)
+    )
+    out_spec = pl.BlockSpec((SUB, LANE), lambda i, j: (i, j),
+                            memory_space=pltpu.VMEM)
+    with jax.enable_x64(False):
+        planes = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+            out_specs=(out_spec,) * 3,
+            out_shape=out_shapes,
+            interpret=interpret,
+        )(params_row)
+    return planes
+
+
+def pallas_render_sample(scene, jitter, dtype=jnp.float32):
+    """(H*W, 3) linear radiance via the fused kernel — drop-in for the
+    staged render_sample pipeline (render/pipeline.py dispatches here when
+    MarchConfig.fused is on and no per-step jet accumulation is needed)."""
+    from blackhole_simulation_tpu.geometry.metrics import KS, Kerr
+    from blackhole_simulation_tpu.render.camera import camera_scalars
+    from blackhole_simulation_tpu.render.precull import _eta_crit_cheb_coeffs
+    from blackhole_simulation_tpu.render.shading import (
+        build_disk_luts,
+        spectral_cheb_coeffs,
+    )
+
+    cam = scene.camera
+    cfg = scene.march_cfg
+    bh = Kerr(
+        mass=scene.bh.mass.astype(dtype),
+        spin=scene.bh.spin.astype(dtype),
+        chart=KS,
+    )
+    m = bh.mass
+    a = bh.spin
+
+    c0, c_r, c_th, c_ph, k1, k2, roll_c, roll_s = camera_scalars(
+        cam, bh, dtype
+    )
+    u0 = jnp.cos(cam.theta).astype(dtype)
+    s0 = jnp.sqrt(jnp.maximum(1.0 - jnp.cos(cam.theta) ** 2, 1e-12)).astype(dtype)
+    jx = jnp.asarray(jitter[0] if jitter is not None else 0.0, dtype)
+    jy = jnp.asarray(jitter[1] if jitter is not None else 0.0, dtype)
+
+    r_h = bh.event_horizon()
+    hor_thr = cfg.horizon_factor * r_h
+    isco = bh.isco()
+    if cfg.precull_keep_disk:
+        stop_r = jnp.maximum(jnp.maximum(isco, cfg.record_r_min), hor_thr)
+    else:
+        stop_r = jnp.asarray(1e9, dtype)
+
+    # Precull critical curve on the clamped-spin validated range
+    # (capture_mask_u prologue).
+    flip = jnp.where(a < 0.0, -1.0, 1.0).astype(dtype)
+    a_cheb = jnp.clip(jnp.abs(a), 1e-3 * m, 0.999 * m)
+    eta_coeffs, cheb_mid, cheb_half, lam_lo, lam_hi = _eta_crit_cheb_coeffs(
+        m, a_cheb
+    )
+
+    if scene.features.spectral_lut and scene.features.disk:
+        if scene.spectral_coeffs is not None:
+            # Host-precomputed tables (Scene.create): avoids compiling the
+            # f64 Page-Thorne integral through the TPU toolchain (~340 s
+            # measured in this environment).
+            tc, rc, il = scene.spectral_coeffs
+            t_coeffs = jnp.asarray(tc, dtype)
+            rgb_coeffs = jnp.asarray(rc, dtype)
+            inv_logr = jnp.asarray(il, dtype)
+        else:
+            luts = build_disk_luts(bh, scene.disk, dtype)
+            t_coeffs, rgb_coeffs = spectral_cheb_coeffs(luts)
+            inv_logr = (1.0 / jnp.log(luts[0][-1] / luts[0][0])).astype(dtype)
+    else:
+        t_coeffs = jnp.zeros((SPECTRAL_CHEB_K,), dtype)
+        rgb_coeffs = jnp.zeros((3, SPECTRAL_CHEB_K), dtype)
+        inv_logr = jnp.asarray(1.0, dtype)
+
+    head = jnp.stack([
+        m, a, r_h, bh.photon_sphere().astype(dtype), isco, stop_r, hor_thr,
+        cam.r.astype(dtype), u0, s0, cam.phi.astype(dtype),
+        k1, k2, roll_c, roll_s, jx, jy,
+        c0[0], c0[1], c0[2], c0[3],
+        c_r[0], c_r[1], c_r[2], c_r[3],
+        c_th[0], c_th[1], c_th[2], c_th[3],
+        c_ph[0], c_ph[1], c_ph[2], c_ph[3],
+        cheb_mid, cheb_half, lam_lo, lam_hi, flip, a_cheb, inv_logr,
+    ]).astype(jnp.float32)
+    row = jnp.concatenate([
+        head,
+        eta_coeffs.astype(jnp.float32),
+        t_coeffs.astype(jnp.float32),
+        rgb_coeffs.reshape(-1).astype(jnp.float32),
+    ])
+    row = jnp.pad(row, (0, _P_PAD - row.shape[0])).reshape(1, _P_PAD)
+
+    scene_static = (
+        cfg, scene.features, scene.disk, scene.stars,
+        cam.width, cam.height,
+    )
+    interpret = jax.default_backend() != "tpu"
+    planes = _pallas_render(row, scene_static, interpret)
+    h, w = cam.height, cam.width
+    return jnp.stack([pl_[:h, :w].reshape(-1) for pl_ in planes], axis=-1)

@@ -70,8 +70,13 @@ def integrate_planck_xyz(t_kelvin):
     return jnp.trapezoid(b[:, None] * xyz_bar, lam_nm, axis=0)
 
 
-# sRGB (D65, linear) matrix — same values as spectrum.rs:65-70.
-_XYZ_TO_RGB = jnp.array(
+# sRGB (D65, linear) matrix — same values as spectrum.rs:65-70. Kept as a
+# host numpy constant: a module-scope jnp.array becomes a leaked tracer if
+# this module's FIRST import happens inside a jit trace (the lazy
+# build_disk_luts import path).
+import numpy as _np
+
+_XYZ_TO_RGB = _np.array(
     [
         [3.2406, -1.5372, -0.4986],
         [-0.9689, 1.8758, 0.0415],

@@ -190,6 +190,28 @@ def camera_rays(camera: Camera, bh: Kerr, jitter=None, dtype=jnp.float32):
     return _rays_from_ndc(camera, bh, nx.reshape(-1), ny.reshape(-1), dtype)
 
 
+def camera_scalars(camera: Camera, bh: Kerr, dtype=jnp.float32):
+    """All scalar camera quantities for per-pixel ray construction:
+    (c0, c_r, c_th, c_ph, k1, k2, roll_c, roll_s) — the KS-lowered ZAMO
+    tetrad coefficient 4-vectors plus the NDC scale/rotation. Shared by
+    the jnp ray builders and the fused render kernel (which re-derives
+    rays per pixel in VMEM from exactly these scalars)."""
+    m, a = bh.mass, bh.spin
+    r0, th0 = camera.r, camera.theta
+    aspect = jnp.asarray(camera.width / camera.height, dtype)
+    half = jnp.tan(camera.fov / 2.0).astype(dtype)
+    roll_c = jnp.cos(camera.roll).astype(dtype)
+    roll_s = jnp.sin(camera.roll).astype(dtype)
+    # Scalar coefficient 4-vectors: lower the tetrad with the BL metric and
+    # shift to the KS chart once, at the camera point.
+    u, e_r, e_th, e_ph = zamo_tetrad(m, a, r0, th0)
+    g_bl = kerr_cov_bl(m, a, r0, th0)
+    coeffs = [g_bl @ v for v in (u, e_r, e_th, e_ph)]
+    coeffs = [bl_to_ks_momentum(m, a, r0, c).astype(dtype) for c in coeffs]
+    c0, c_r, c_th, c_ph = coeffs
+    return c0, c_r, c_th, c_ph, half * aspect, half, roll_c, roll_s
+
+
 def _momenta_from_ndc(camera: Camera, bh: Kerr, nx, ny, dtype):
     """Covariant KS momentum rows [p_t, p_r, p_th, p_ph] for NDC pixels.
 
@@ -200,22 +222,20 @@ def _momenta_from_ndc(camera: Camera, bh: Kerr, nx, ny, dtype):
     with 4-vectors of scalar coefficients. The earlier form materialized
     (N, 4) tensors through an einsum — minor-dim 4 means 4/128 lane occupancy
     on every op, and ray gen cost ~2/3 of the march itself (measured 38 ms
-    at 1080p; this form ~1 ms)."""
-    m, a = bh.mass, bh.spin
-    r0, th0 = camera.r, camera.theta
-    # All per-pixel math runs in the render dtype: camera fields are f64
-    # scalars (the package enables x64 for the oracle layer), and one f64
-    # scalar touching the (N,) NDC arrays promotes the whole ray-gen sweep
-    # to emulated f64 on TPU (measured 24 ms of a 84 ms frame at 1080p;
-    # ~1 ms in f32). Scalar camera/tetrad math below stays f64.
-    aspect = jnp.asarray(camera.width / camera.height, dtype)
-    half = jnp.tan(camera.fov / 2.0).astype(dtype)
-    cx = nx * (half * aspect)
-    cy = ny * half
+    at 1080p; this form ~1 ms).
 
-    cr_ = jnp.cos(camera.roll).astype(dtype)
-    sr_ = jnp.sin(camera.roll).astype(dtype)
-    cx, cy = cx * cr_ - cy * sr_, cx * sr_ + cy * cr_
+    All per-pixel math runs in the render dtype: camera fields are f64
+    scalars (the package enables x64 for the oracle layer), and one f64
+    scalar touching the (N,) NDC arrays promotes the whole ray-gen sweep
+    to emulated f64 on TPU (measured 24 ms of a 84 ms frame at 1080p;
+    ~1 ms in f32). Scalar camera/tetrad math stays f64.
+    """
+    c0, c_r, c_th, c_ph, k1, k2, roll_c, roll_s = camera_scalars(
+        camera, bh, dtype
+    )
+    cx = nx * k1
+    cy = ny * k2
+    cx, cy = cx * roll_c - cy * roll_s, cx * roll_s + cy * roll_c
 
     # Local unit direction: forward = -e_r (inward), right = -e_phi, up = -e_theta
     # (theta increases downward from the pole, so screen-up is -e_theta).
@@ -223,14 +243,6 @@ def _momenta_from_ndc(camera: Camera, bh: Kerr, nx, ny, dtype):
     n_r = -inv_norm                 # inward
     n_th = -cy * inv_norm           # screen up
     n_ph = -cx * inv_norm           # screen right
-
-    # Scalar coefficient 4-vectors: lower the tetrad with the BL metric and
-    # shift to the KS chart once, at the camera point.
-    u, e_r, e_th, e_ph = zamo_tetrad(m, a, r0, th0)
-    g_bl = kerr_cov_bl(m, a, r0, th0)
-    coeffs = [g_bl @ v for v in (u, e_r, e_th, e_ph)]
-    coeffs = [bl_to_ks_momentum(m, a, r0, c).astype(dtype) for c in coeffs]
-    c0, c_r, c_th, c_ph = coeffs
     return [c0[j] + n_r * c_r[j] + n_th * c_th[j] + n_ph * c_ph[j]
             for j in range(4)]
 

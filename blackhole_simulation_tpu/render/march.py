@@ -116,6 +116,11 @@ class MarchConfig:
     # with per-tile early exit. Forward-only — the jnp path keeps the VJP —
     # and incompatible with in-loop jet accumulation.
     use_pallas: bool = False
+    # Fused render megakernel (ops/pallas_render.py): ray birth, precull,
+    # march AND shading in one Pallas program per pixel tile — zero
+    # intermediate HBM traffic. Requires use_pallas; render_sample falls
+    # back to the staged path when jets (per-step accumulation) are on.
+    fused: bool = False
 
 
 # Flags describing how each ray ended (mirrors TerminationReason).

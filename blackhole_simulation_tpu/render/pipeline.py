@@ -72,13 +72,17 @@ class Features:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["bh", "camera"],
+    data_fields=["bh", "camera", "spectral_coeffs"],
     meta_fields=["disk", "jet_params", "stars", "features", "march_cfg", "post"],
 )
 @dataclasses.dataclass(frozen=True)
 class Scene:
     """Full scene description. bh/camera are differentiable pytree leaves;
-    the rest are static config."""
+    the rest are static config. ``spectral_coeffs``: host-precomputed
+    Chebyshev tables for the fused kernel's Page-Thorne + Planck/CIE
+    shading (shading.spectral_kernel_tables) — data leaves so jit treats
+    them as inputs; None when the spectral feature is off or the scene was
+    built directly (the fused path then falls back to the in-trace build)."""
 
     bh: Kerr
     camera: Camera
@@ -88,11 +92,29 @@ class Scene:
     features: Features = Features()
     march_cfg: MarchConfig = MarchConfig()
     post: PostParams = PostParams()
+    spectral_coeffs: tuple | None = None
 
     @classmethod
     def create(cls, mass=1.0, spin=0.9, camera=None, **kw):
         bh = Kerr(mass=jnp.asarray(mass), spin=jnp.asarray(spin), chart=KS)
-        return cls(bh=bh, camera=camera or Camera.create(), **kw)
+        scene = cls(bh=bh, camera=camera or Camera.create(), **kw)
+        if (
+            scene.spectral_coeffs is None
+            and scene.features.spectral_lut
+            and scene.features.disk
+            and scene.march_cfg.fused
+        ):
+            from blackhole_simulation_tpu.render.shading import (
+                spectral_kernel_tables,
+            )
+
+            scene = dataclasses.replace(
+                scene,
+                spectral_coeffs=spectral_kernel_tables(
+                    float(mass), float(spin), scene.disk
+                ),
+            )
+        return scene
 
 
 def _halton(i: int, base: int) -> float:
@@ -283,6 +305,17 @@ def render_sample(scene: Scene, jitter, dtype=jnp.float32) -> jnp.ndarray:
         )
     use_pallas = cfg.use_pallas and jets is None
     h, w = scene.camera.height, scene.camera.width
+    if use_pallas and cfg.fused:
+        # Fully-fused megakernel: the whole sample in one Pallas program
+        # (ops/pallas_render.py). The scene must carry cfg with any
+        # precull adjustments applied, so rebuild it here.
+        from blackhole_simulation_tpu.ops.pallas_render import (
+            pallas_render_sample,
+        )
+
+        return pallas_render_sample(
+            dataclasses.replace(scene, march_cfg=cfg), jitter, dtype
+        )
     if use_pallas:
         # March AND shade in pixel-block order (shading is pure per-ray, so
         # order is irrelevant), then restore row-major order for just the 3

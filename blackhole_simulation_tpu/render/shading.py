@@ -74,6 +74,35 @@ def _smooth(t):
     return t * t * (3.0 - 2.0 * t)
 
 
+def atan2_approx(y, x):
+    """Polynomial atan2 (max err ~2e-7 rad): octant range-reduction + an
+    11th-order odd minimax polynomial on [0, 1].
+
+    Exists because Mosaic has no atan/atan2 lowering — the fused render
+    kernel (ops/pallas_render.py) evaluates the starfield in-VMEM, and the
+    jnp path uses the SAME function so the two paths share one DAG (the
+    error is ~5e-3 star-cell units at the starfield's hash frequency —
+    far below a star spot's width)."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    hi = jnp.maximum(ax, ay)
+    lo = jnp.minimum(ax, ay)
+    z = lo / jnp.maximum(hi, 1e-30)
+    z2 = z * z
+    # odd minimax coefficients for atan(z), z in [0, 1]
+    p = jnp.asarray(-0.0117212, z.dtype)
+    p = p * z2 + jnp.asarray(0.0526477, z.dtype)
+    p = p * z2 + jnp.asarray(-0.1172626, z.dtype)
+    p = p * z2 + jnp.asarray(0.1936999, z.dtype)
+    p = p * z2 + jnp.asarray(-0.3326231, z.dtype)
+    p = p * z2 + jnp.asarray(0.9999798, z.dtype)
+    t = p * z
+    half_pi = jnp.asarray(jnp.pi / 2, z.dtype)
+    t = jnp.where(ay > ax, half_pi - t, t)         # reflect past 45 deg
+    t = jnp.where(x < 0.0, jnp.asarray(jnp.pi, z.dtype) - t, t)
+    return jnp.where(y < 0.0, -t, t)
+
+
 def _powi(x, p: float):
     """x**p via sqrt/multiply chains when p is a multiple of 0.25 (pow lowers
     to exp(log(x)*p) on the VPU — two transcendentals per lane; shading calls
@@ -222,6 +251,7 @@ def disk_emission_rows(
     density_scale=1.0,
     intensity_scale=1.0,
     octaves: int = 3,
+    r_in=None,
 ):
     """Shade ONE recorded disk crossing: ((r, g, b) rows, alpha, valid).
 
@@ -233,7 +263,7 @@ def disk_emission_rows(
     """
     m = bh.mass.astype(dtype)
     a = bh.spin.astype(dtype)
-    r_in = bh.isco().astype(dtype)
+    r_in = bh.isco().astype(dtype) if r_in is None else r_in
 
     valid = (r_c > r_in) & (r_c < disk.outer_radius)
     # Sanitize invalid lanes so no inf/NaN flows into the math below
@@ -334,6 +364,90 @@ def build_disk_luts(bh: Kerr, disk: DiskParams, dtype=jnp.float32,
     t_axis = 900.0 + (4e4 - 900.0) * jnp.linspace(0.0, 1.0, n_t) ** 2.5
     rgb_table = blackbody_rgb(t_axis).astype(dtype)
     return r_grid.astype(dtype), t_shape, t_axis.astype(dtype), rgb_table
+
+
+SPECTRAL_CHEB_K = 16
+SPECTRAL_T_LO = 900.0
+SPECTRAL_T_HI = 4e4
+
+
+def spectral_cheb_coeffs(luts, dtype=jnp.float32):
+    """Chebyshev projections of the two spectral LUTs for in-VMEM shading.
+
+    The fused render kernel (ops/pallas_render.py) cannot gather from LUT
+    tables (Mosaic has no per-lane dynamic gather), so the smooth LUT
+    contents are refit as K-term Chebyshev series evaluated by Clenshaw
+    recurrences — pure FMA chains, and comparably priced to the gathers
+    they replace:
+
+      * t_shape on x' = sqrt(log(r/r_in)/log(r_out/r_in)) in [0, 1] — the
+        Page-Thorne temperature profile. The sqrt substitution opens the
+        profile's (r - r_isco)^{1/2}-type edge at the no-torque ISCO
+        boundary, which otherwise defeats polynomial convergence (maxerr
+        0.13 -> 0.04 at K = 16),
+      * rgb_c(y), y = ((T - 900)/(4e4 - 900))^(1/2.5) in [0, 1] — the
+        Planck/CIE chromaticity on the reference's ^2.5-warped T axis
+        (spectrum.rs:84).
+
+    Returns (t_coeffs (K,), rgb_coeffs (3, K)). K = 16 keeps the Mosaic
+    trace small (the K = 32 variant compiled 289 s vs <10 s); end-to-end
+    radiance error vs the LUT-interp path is bounded by the fused-path
+    parity test.
+    """
+    r_grid, t_shape_tab, t_axis, rgb_table = luts
+    k = jnp.arange(SPECTRAL_CHEB_K, dtype=jnp.float32)
+    nodes = jnp.cos(jnp.pi * (k + 0.5) / SPECTRAL_CHEB_K)  # (K,) in (-1, 1)
+    x01 = 0.5 * (nodes + 1.0)
+
+    # t_shape at Chebyshev nodes of the sqrt(log-r) domain (r_grid is
+    # log-spaced, so x01**2 indexes it linearly).
+    r_in, r_out = r_grid[0], r_grid[-1]
+    r_nodes = r_in * (r_out / r_in) ** (x01 ** 2)
+    t_vals = jnp.interp(r_nodes, r_grid, t_shape_tab)
+
+    # rgb at Chebyshev nodes of the warp domain (t_axis was built from the
+    # same warp, so x01 indexes it linearly too).
+    t_nodes = SPECTRAL_T_LO + (SPECTRAL_T_HI - SPECTRAL_T_LO) * x01 ** 2.5
+    rgb_vals = jnp.stack(
+        [jnp.interp(t_nodes, t_axis, rgb_table[:, c]) for c in range(3)]
+    )  # (3, K)
+
+    j = jnp.arange(SPECTRAL_CHEB_K, dtype=jnp.float32)
+    dct = jnp.cos(jnp.pi * j[:, None] * (k[None, :] + 0.5) / SPECTRAL_CHEB_K)
+    proj = lambda v: (
+        (2.0 / SPECTRAL_CHEB_K) * (v[None, :] * dct).sum(axis=1)
+    ).at[0].mul(0.5)
+    t_coeffs = proj(t_vals).astype(dtype)
+    rgb_coeffs = jnp.stack([proj(rgb_vals[c]) for c in range(3)]).astype(dtype)
+    return t_coeffs, rgb_coeffs
+
+
+def spectral_kernel_tables(mass: float, spin: float, disk: "DiskParams"):
+    """Host-side (eager, CPU, f64) spectral Chebyshev tables for the fused
+    kernel: (t_coeffs (K,), rgb_coeffs (3, K), inv_logr ()) as f32 arrays.
+
+    The f64 Page-Thorne Simpson integral compiles for ~340 s through this
+    environment's TPU toolchain (measured r4) — two orders beyond the
+    <120 s cold-compile budget — so Scene.create evaluates it ONCE on the
+    host CPU at scene-build time and ships the 65 scalars as pytree leaves;
+    pallas_render_sample falls back to the in-trace build when a scene is
+    constructed without them.
+    """
+    from blackhole_simulation_tpu.geometry.metrics import KS, Kerr
+
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu), jax.enable_x64(True):
+        bh = Kerr(
+            mass=jnp.float64(float(mass)),
+            spin=jnp.float64(float(spin)),
+            chart=KS,
+        )
+        luts = build_disk_luts(bh, disk, jnp.float32)
+        t_coeffs, rgb_coeffs = spectral_cheb_coeffs(luts)
+        inv_logr = (1.0 / jnp.log(luts[0][-1] / luts[0][0])).astype(jnp.float32)
+    import numpy as np
+
+    return (np.asarray(t_coeffs), np.asarray(rgb_coeffs), np.asarray(inv_logr))
 
 
 def disk_emission_lut_rows(
@@ -641,8 +755,10 @@ def starfield_rows(dx, dy, dz, params: StarfieldParams = StarfieldParams()):
     TPU layout (see blackbody_ramp_rows).
     """
     dtype = dx.dtype
-    # Equal-area-ish angular coordinates to hash on.
-    u = jnp.arctan2(dy, dx)
+    # Equal-area-ish angular coordinates to hash on. atan2_approx: shared
+    # polynomial form (Mosaic-lowerable) so the fused kernel and jnp paths
+    # compute identical star positions.
+    u = atan2_approx(dy, dx)
     v = jnp.clip(dz, -1.0, 1.0)
 
     out = [jnp.zeros_like(u, dtype=jnp.float32) for _ in range(3)]
