@@ -7,11 +7,18 @@ vs_baseline compares against the reference's real-time envelope — 60 FPS at
 i.e. 1920*1080*60 = 124.4 Mrays/s on a desktop GPU. Note the comparison
 favors the reference: its GPU march caps at <=500 Verlet steps of a
 pseudo-Newtonian force, while this build integrates the exact Kerr-Schild
-Hamiltonian with symplectic steps.
+Hamiltonian with symplectic steps AND shades with the Page-Thorne +
+Planck/CIE physics-LUT chain (the reference's production texture path,
+renderer.ts:433-464) — spectral shading is ON in this flagship.
 
-The flagship config turns on every production lever (all parity-tested):
-shadow-interior pre-cull (render/precull.py), r-proportional far-field step
-cap, and the TPU approximate-reciprocal RHS in the Pallas kernel.
+The flagship config (every lever parity- and oracle-gate-tested):
+ - fused render megakernel (ops/pallas_render.py): ray birth -> Chebyshev
+   shadow precull -> VMEM-resident march -> spectral composite in ONE
+   Pallas program per 32x128-pixel tile,
+ - step_rate 0.2 (first rung of the oracle-gate convergence ladder,
+   tests/test_oracle_gate.py::test_fast_march_converges_to_oracle),
+ - r-proportional far-field step cap, approximate-reciprocal step divides,
+   one implicit-midpoint iteration.
 
 Timing protocol: this environment reaches the TPU through a tunnel with a
 ~25 ms host<->device round trip, and block_until_ready is not trustworthy
@@ -20,19 +27,28 @@ K frames are queued back-to-back, and ONE host fetch at the end forces the
 whole pipeline (sustained throughput, the analogue of the reference's
 sustained-FPS measurement; per-frame fetches would measure the tunnel).
 
-Also measured and reported as extra keys (the driver keys on the first
-three fields): compile seconds, and the BACKWARD pass — one full
-value_and_grad inverse-rendering step at 1080p (d loss / d (spin, camera,
-disk) through the checkpointed march, SURVEY §5.7's long-sequence backward).
+Compile cache: persisted under the repo (.jit_cache) so driver runs across
+rounds hit it; cold-compile root cause and numbers in COMPILE_NOTES.md.
 
-Usage: python bench.py [--ci] [--width W] [--height H] [--steps N] [--frames K]
-  --ci  shrink to a smoke-test size (used on CPU / in tests).
+Extra keys (the driver keys on the first three fields):
+ - compile_s: cold/warm compile + first frame,
+ - fd_step_ms: the production inverse-rendering step (9 flagship forwards
+   of the FD driver — reverse-mode gradients of a chaotic 256-step march
+   are noise; see parallel/train.py),
+ - backward_mrays/backward_res: one reverse-mode value_and_grad inverse
+   step (the AD path, checkpointed march),
+ - gate_full: full-size (256^2) image gate vs the f64 CPU RKF45 oracle at
+   a = 0.999, run in-process on the host CPU (VERDICT r3 item 6).
+
+Usage: python bench.py [--ci] [--width W] [--height H] [--steps N]
+                       [--frames K] [--no-grad] [--no-gate]
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -43,15 +59,18 @@ def main() -> None:
     ap.add_argument("--width", type=int, default=None)
     ap.add_argument("--height", type=int, default=None)
     ap.add_argument("--steps", type=int, default=256)
-    ap.add_argument("--frames", type=int, default=10)
+    ap.add_argument("--frames", type=int, default=30)
     ap.add_argument("--no-grad", action="store_true", help="skip the backward bench")
+    ap.add_argument("--no-gate", action="store_true", help="skip the oracle gate")
     args = ap.parse_args()
 
     import jax
 
     try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/bh_tpu_jit_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 ".jit_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
     except Exception:
         pass  # cache flags unavailable on some jax versions
 
@@ -68,30 +87,31 @@ def main() -> None:
     import jax.numpy as jnp
 
     from blackhole_simulation_tpu.render import Camera, MarchConfig, Scene, render
+    from blackhole_simulation_tpu.render.pipeline import Features
 
+    on_tpu = platform == "tpu"
     cam = Camera.create(
         r=30.0, theta=jnp.pi / 2 - 0.25, fov=0.5, width=width, height=height
     )
     march_cfg = MarchConfig(
         max_steps=args.steps,
-        # Tile-resident Pallas march on TPU (forward render only).
-        use_pallas=(platform == "tpu"),
-        # Production levers (VERDICT r2 item 1), all parity-tested:
+        use_pallas=on_tpu,
+        fused=on_tpu,
         shadow_precull=True,
+        step_rate=0.2,
         far_step_cap_rate=0.4,
         far_boost_radius=20.0,
         approx_recip=True,
-        # One fixed-point iteration of the implicit-midpoint step (2 RHS
-        # evals/step instead of 3). Gate-certified: the full oracle-gate
-        # suite (image allclose at a=0 and a=0.999, gradient-vs-oracle,
-        # 2nd-order convergence) passes with midpoint_iters=1.
         midpoint_iters=1,
     )
-    scene = Scene.create(mass=1.0, spin=0.999, camera=cam, march_cfg=march_cfg)
+    features = Features(spectral_lut=True)
+    scene = Scene.create(
+        mass=1.0, spin=0.999, camera=cam, march_cfg=march_cfg, features=features
+    )
 
     print(
-        f"bench: {width}x{height} Kerr a=0.999, {args.steps}-step march on "
-        f"{platform} ({jax.devices()[0].device_kind})",
+        f"bench: {width}x{height} Kerr a=0.999, {args.steps}-step fused "
+        f"spectral march on {platform} ({jax.devices()[0].device_kind})",
         file=sys.stderr,
     )
 
@@ -134,7 +154,7 @@ def main() -> None:
 
     # Training step, production form (BASELINE configs[3]): the FD inverse
     # step = 9 forward renders (center + central differences on 4 scene
-    # parameters) of the FLAGSHIP Pallas config — pathwise reverse-mode
+    # parameters) of the FLAGSHIP fused config — pathwise reverse-mode
     # gradients of a chaotic 256-step march are noise (see
     # parallel/train.py), so forward evaluations of the smooth loss ARE the
     # production backward path, and they run at forward speed.
@@ -172,10 +192,7 @@ def main() -> None:
         )
 
     # Reverse-mode AD step for comparison — value_and_grad through the
-    # checkpointed jnp march (scan of per-step checkpoints: remat_every=1
-    # measured 3.4x faster than 32 on TPU; the residual stacking
-    # dynamic-update-slices dominate either way, which is exactly why the
-    # FD step above is the production path).
+    # checkpointed jnp march (see parallel/train.py remat notes).
     grad_mrays = None
     if not args.no_grad:
         from blackhole_simulation_tpu.parallel import (
@@ -184,10 +201,7 @@ def main() -> None:
         )
         import dataclasses as dc
 
-        # Resolution ladder: this environment's tunneled AOT compiler dies
-        # on the 256-step backward program above ~0.5 Mpixel (an
-        # infrastructure limit, not device HBM — 480x270 plans ~4 GB of a
-        # 16 GB chip); fall back until one compiles and report which.
+        # Resolution ladder: fall back until one compiles and report which.
         if args.ci and platform == "cpu":
             ladder = [(96, 54)]
         else:
@@ -197,9 +211,12 @@ def main() -> None:
             g_scene = dc.replace(
                 scene,
                 camera=g_cam,
+                features=Features(spectral_lut=False),
+                spectral_coeffs=None,
                 march_cfg=dc.replace(
                     march_cfg,
                     use_pallas=False,
+                    fused=False,
                     shadow_precull=False,
                     remat_every=1,
                 ),
@@ -233,8 +250,63 @@ def main() -> None:
                     file=sys.stderr,
                 )
 
+    # Full-size oracle image gate at the flagship spin (VERDICT r3 item 6):
+    # fast path at the validation step config on the accelerator vs the f64
+    # adaptive-RKF45 CPU oracle, using the exact metric of
+    # tests/test_oracle_gate.py::test_kerr_extremal_image_matches_oracle.
+    gate_full = None
+    if not args.no_gate and not args.ci:
+        try:
+            import dataclasses as dc
+
+            import numpy as np
+
+            from blackhole_simulation_tpu.render import render_radiance
+            from blackhole_simulation_tpu.render.pipeline import oracle_render
+            from blackhole_simulation_tpu.render.shading import StarfieldParams
+
+            size = 256
+            g_cam = Camera.create(
+                r=30.0, theta=jnp.pi / 2 - 0.25, fov=0.5, width=size, height=size
+            )
+            g_scene = Scene.create(
+                mass=1.0, spin=0.999, camera=g_cam,
+                stars=StarfieldParams(density=0.0),
+                march_cfg=MarchConfig(max_steps=256),
+            )
+            fine = dc.replace(
+                g_scene,
+                march_cfg=dc.replace(
+                    g_scene.march_cfg, step_rate=0.03, max_steps=1024
+                ),
+            )
+            t0 = time.perf_counter()
+            img_fast = np.asarray(render_radiance(fine))
+            cpu = jax.local_devices(backend="cpu")[0]
+            with jax.default_device(cpu), jax.enable_x64(True):
+                img_oracle = np.asarray(oracle_render(g_scene)).astype(np.float32)
+            d = np.abs(img_fast - img_oracle).max(axis=2)
+            scale = float(np.abs(img_oracle).mean()) + 1e-8
+            frac_ok = float(
+                (d < 1e-2 * (1.0 + np.abs(img_oracle).max(axis=2))).mean()
+            )
+            trimmed = np.sort(d.reshape(-1))[: int(d.size * 0.975)]
+            trimmed_rel = float(trimmed.mean() / scale)
+            gate_full = {
+                "size": size,
+                "spin": 0.999,
+                "frac_ok": round(frac_ok, 4),
+                "trimmed_rel": round(trimmed_rel, 5),
+                "pass": bool(frac_ok > 0.98 and trimmed_rel < 1e-2),
+                "seconds": round(time.perf_counter() - t0, 1),
+            }
+            print(f"bench: gate_full {gate_full}", file=sys.stderr)
+        except Exception as e:
+            print(f"bench: gate_full failed: {str(e)[:200]!r}", file=sys.stderr)
+            gate_full = {"pass": False, "error": str(e)[:120]}
+
     out = {
-        "metric": "Mrays/s/chip 1080p Kerr a=0.999 full render",
+        "metric": "Mrays/s/chip 1080p Kerr a=0.999 full render (spectral)",
         "value": round(mrays, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / baseline_mrays, 4),
@@ -245,6 +317,8 @@ def main() -> None:
     if grad_mrays is not None:
         out["backward_mrays"] = round(grad_mrays, 3)
         out["backward_res"] = f"{g_w}x{g_h}"
+    if gate_full is not None:
+        out["gate_full"] = gate_full
     print(json.dumps(out))
 
 

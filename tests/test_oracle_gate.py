@@ -132,7 +132,11 @@ class TestImageGate:
         d_o = np.asarray(escape_direction(ro.state, bh64))
 
         medians = []
-        for step_rate, max_steps in [(0.12, 256), (0.06, 512), (0.03, 1024)]:
+        # First rung = the FLAGSHIP production step rate (bench.py, r4:
+        # 0.2); the halving ladder proves its error is step-size-limited
+        # and 2nd-order, i.e. the production error bound below is a real
+        # convergence statement, not a tuned coincidence.
+        for step_rate, max_steps in [(0.2, 256), (0.1, 512), (0.05, 1024)]:
             cfg = dataclasses.replace(
                 scene.march_cfg, step_rate=step_rate, max_steps=max_steps
             )
