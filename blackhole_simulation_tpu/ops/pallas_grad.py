@@ -1,0 +1,419 @@
+"""Reverse-mode march gradient as a Pallas TPU kernel (VERDICT r3 item 3).
+
+The jnp AD path reverse-differentiates the march by storing (or remat-ing)
+per-step residuals through HBM — at 1080p x 256 steps that program either
+fails to compile or runs ~370x slower than forward (r3). This kernel gives
+the backward sweep the same treatment the forward march got: everything
+VMEM-resident, per 32x128-ray tile.
+
+Strategy — checkpoint/replay, not reverse integration:
+ 1. replay the forward march from the tile's initial rays, storing the
+    carry every CKPT (=32) steps in VMEM scratch (~1 MB/tile). The replay
+    calls the SAME diff_step_values/renorm DAG as the forward kernels, so
+    it is bit-exact — masks, crossing slots, and freeze points land on
+    identical steps;
+ 2. walk blocks in reverse: re-forward the block from its checkpoint into
+    a K-step VMEM stack (~4 MB), then run per-step VJPs backward through
+    the stack. jax.vjp of the step composite is traced at kernel-build
+    time — the transpose is just more vector math in the same program.
+
+Per-step cotangent assembly:
+ - the composite includes the advance/freeze selects, so frozen lanes'
+   cotangents bypass automatically through the `where` transpose,
+ - equator-crossing record cotangents (d pixel / d crossing r, phi, t from
+   the disk shading) inject at the exact step each slot was recorded
+   (slot = the replayed crossing count),
+ - the photon-ring proximity record r_min_ph = min_i |r_i - r_ph| injects
+   its cotangent at the (replayed, bit-exact) argmin step,
+ - p_t is the implicit constant -1 (callers normalize; its cotangent is
+   recovered by AD through the normalization outside the kernel).
+
+Gradients flow to the initial rays (hence camera parameters, outside), the
+conserved p_phi row, and (m, a, r_h, r_ph) scalars (hence spin/mass).
+Termination radii give zero gradient (a.e. constant). Cost: one forward
+march + ~2x forward of replay + ~3x of transpose math — the whole
+fwd+bwd runs at a fixed small multiple of the forward kernel.
+
+Oracle contract: gravitas-core geodesic/integrator.rs:113-190 (the
+reference's f64 integrator is the ground truth the gradient gate checks
+against, tests/test_oracle_gate.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from blackhole_simulation_tpu.ops.ks_kernel import ks_renormalize_pr
+from blackhole_simulation_tpu.ops.pallas_march import (
+    HIT_ESCAPE,
+    HIT_HORIZON,
+    HIT_NONE,
+    LANE,
+    SUB,
+    TILE,
+    _cdiv,
+    diff_step_values,
+)
+
+CKPT = 32  # steps per checkpoint block
+
+
+def make_composite(cfg, approx_recip, k_slots):
+    """See _make_composite docstring; thr is a per-ray capture radius row
+    (closed over per call site as a non-differentiated operand)."""
+
+    def composite(y6, pph, m, a, r_h, r_ph, thr, hit, i, nc):
+        t, r, u, ph, pr, pu = y6
+        dt = r.dtype
+        F = lambda v: jnp.asarray(v, dt)
+        I = lambda v: jnp.asarray(v, jnp.int32)
+        active = (hit == I(HIT_NONE)) & (i < I(cfg.max_steps))
+
+        # The "double-where" rule (render/march.py): frozen lanes must step
+        # a benign far-field state — their primal outputs are discarded by
+        # the advance select, but the VJP's zero-cotangent x Inf-partial on
+        # a diverged frozen state is NaN, and it poisons the reductions.
+        t_in = jnp.where(active, t, F(0.0))
+        r_in = jnp.where(active, r, F(10.0))
+        u_in = jnp.where(active, u, F(0.0))
+        ph_in = jnp.where(active, ph, F(0.0))
+        pr_in = jnp.where(active, pr, F(0.0))
+        pu_in = jnp.where(active, pu, F(0.0))
+
+        nt, nr, nu, nph, npr, npu, r_c, phi_c, t_c = diff_step_values(
+            m, a, r_h, r_ph, cfg, approx_recip,
+            (t_in, r_in, u_in, ph_in, pr_in, pu_in, pph),
+        )
+
+        maybe = active & ((u * nu) < F(0.0)) & (nc < I(k_slots))
+        crossed = (
+            maybe & (r_c > F(cfg.record_r_min)) & (r_c < F(cfg.record_r_max))
+        )
+        nc2 = nc + jnp.where(crossed, I(1), I(0))
+
+        sane = (
+            jnp.isfinite(nr)
+            & jnp.isfinite(nph)
+            & jnp.isfinite(npr)
+            & jnp.isfinite(npu)
+            & (jnp.abs(npr) < F(1e7))
+            & (jnp.abs(npu) < F(1e7))
+            & (nr < F(8.0 * cfg.escape_radius))
+        )
+        advance = active & sane
+        t2 = jnp.where(advance, nt, t)
+        r2 = jnp.where(advance, nr, r)
+        u2 = jnp.where(advance, nu, u)
+        ph2 = jnp.where(advance, nph, ph)
+        pr2 = jnp.where(advance, npr, pr)
+        pu2 = jnp.where(advance, npu, pu)
+        hit2 = jnp.where(active & ~sane, I(HIT_HORIZON), hit)
+        hit2 = jnp.where(active & (r2 < thr), I(HIT_HORIZON), hit2)
+        hit2 = jnp.where(
+            active & (r2 > F(cfg.escape_radius)), I(HIT_ESCAPE), hit2
+        )
+        # Post-advance boundary renorm, masked (the hoisted-boundary
+        # semantics of the forward kernels, evaluated every step and
+        # selected only on the cadence).
+        boundary = ((i + I(1)) % I(cfg.renormalize_every)) == I(0)
+        live = hit2 == I(HIT_NONE)
+        # Same double-where treatment for the renorm's unselected lanes.
+        rr = jnp.where(live, r2, F(10.0))
+        ru = jnp.where(live, u2, F(0.0))
+        rpr = jnp.where(live, pr2, F(0.0))
+        rpu = jnp.where(live, pu2, F(0.0))
+        pr2 = jnp.where(
+            boundary & live,
+            ks_renormalize_pr(m, a, rr, ru, F(-1.0), rpr, rpu, pph),
+            pr2,
+        )
+        dmin = jnp.abs(r2 - r_ph)
+        return (
+            ((t2, r2, u2, ph2, pr2, pu2), r_c, phi_c, t_c, dmin),
+            (hit2, nc2, crossed, advance),
+        )
+
+    return composite
+
+
+def _grad_kernel(params_ref, y_ref, thr_ref, ctf_ref, ctc_ref, ctr_ref,
+                 rmin_ref, cty0_ref, ctp_ref,
+                 ck_f, ck_i, st_f, st_i, *, cfg, approx_recip):
+    """Per-tile gradient kernel. Inputs:
+    params (1, 8) SMEM [m, a, r_h, r_ph, ...]; y (1, 7, S, L) initial rows
+    (t, r, u, ph, pr, pu, pph), p_t = -1 implicit; thr (1, S, L);
+    ctf (1, 7, S, L) cotangent of the final evolving rows [t..pu] plus the
+    pph row (slot 6); ctc (1, 3*K, S, L) crossing cotangents (r, phi, t
+    stacked per slot); ctr (1, S, L) r_min_ph cotangent; rmin (1, S, L)
+    the forward's r_min_ph record.
+    Outputs: cty0 (1, 7, S, L) cotangent of the initial rows (pph total in
+    slot 6); ctp (1, 8, S, L) per-ray rows for (m, a, r_h, r_ph) in slots
+    0-3 (caller reduces to scalars).
+    """
+    dt = jnp.float32
+    F = lambda v: jnp.asarray(v, dt)
+    I = lambda v: jnp.asarray(v, jnp.int32)
+    shape = (SUB, LANE)
+    k_slots = cfg.max_crossings
+
+    m = params_ref[0, 0]
+    a = params_ref[0, 1]
+    r_h = params_ref[0, 2]
+    r_ph = params_ref[0, 3]
+    thr = thr_ref[0]
+    rmin_fin = rmin_ref[0]
+
+    y0 = y_ref[0]
+    pph = y0[6]
+    composite = make_composite(cfg, approx_recip, k_slots)
+    # Scalar params as broadcast rows: jax.vjp w.r.t. a 0-d scalar inserts
+    # a full cross-lane reduction EVERY step (and the scalar, broadcast
+    # into the output row and re-summed outside, over-counts by the lane
+    # count). Rows keep the partials per-lane; one reduce at the end.
+    zrow = jnp.zeros(shape, dt)
+    m_r = zrow + m
+    a_r = zrow + a
+    rh_r = zrow + r_h
+    rph_r = zrow + r_ph
+
+    def step_fwd(carry):
+        """Replay step: (i, y6, hit, nc) -> advanced."""
+        i, y6, hit, nc = carry
+        (y6b, _, _, _, _), (hit2, nc2, _, _) = composite(
+            y6, pph, m_r, a_r, rh_r, rph_r, thr, hit, i, nc
+        )
+        return i + I(1), y6b, hit2, nc2
+
+    n_blocks = _cdiv(cfg.max_steps, CKPT)
+
+    # ---- phase 1: replay with VMEM checkpoints every CKPT steps ----
+    hit0 = jnp.where(y0[1] < thr, I(HIT_HORIZON), I(HIT_NONE))
+    y6_0 = (y0[0], y0[1], y0[2], y0[3], y0[4], y0[5])
+
+    def ckpt_block(b, carry):
+        i, y6, hit, nc = carry
+        ck_f[b] = jnp.stack(list(y6))
+        ck_i[b] = jnp.stack([hit, nc])
+        live = jnp.max(jnp.where(hit == I(HIT_NONE), I(1), I(0))) > I(0)
+
+        def run(c):
+            j0 = c[0]
+            return jax.lax.while_loop(
+                lambda cc: cc[0] < j0 + I(CKPT), step_fwd, c
+            )
+
+        i, y6, hit, nc = jax.lax.cond(
+            live, run, lambda c: (c[0] + I(CKPT), c[1], c[2], c[3]), carry
+        )
+        return i, y6, hit, nc
+
+    carry = (jnp.int32(0), y6_0, hit0, jnp.zeros(shape, jnp.int32))
+    carry = jax.lax.fori_loop(0, n_blocks, ckpt_block, carry)
+
+    # ---- phase 2: reverse sweep over blocks ----
+    zero = jnp.zeros(shape, dt)
+    ct6 = tuple(ctf_ref[0, j] for j in range(6))
+    ct_pph = ctf_ref[0, 6]
+    ct_m = zero
+    ct_a = zero
+    ct_rh = zero
+    ct_rph = zero
+    ct_rmin = ctr_ref[0]
+    injected = jnp.zeros(shape, jnp.int32)
+
+    def vjp_step(y6, hit, i, nc, ct6, ct_pph, ct_m, ct_a, ct_rh, ct_rph,
+                 injected):
+        """VJP of one step at the stored pre-state."""
+        outs, vjp_fn, aux = jax.vjp(
+            lambda y6_, pph_, m_, a_, rh_, rp_: composite(
+                y6_, pph_, m_, a_, rh_, rp_, thr, hit, i, nc
+            ),
+            y6, pph, m_r, a_r, rh_r, rph_r,
+            has_aux=True,
+        )
+        _, _, crossed, advance = aux
+        _, _, _, _, dmin = outs
+
+        # crossing-record cotangents: slot for this step = replayed nc
+        ctc = ctc_ref[0]
+        ct_rc = zero
+        ct_rp = zero
+        ct_rt = zero
+        for k in range(k_slots):
+            sel = crossed & (nc == I(k))
+            ct_rc = jnp.where(sel, ctc[k], ct_rc)
+            ct_rp = jnp.where(sel, ctc[k_slots + k], ct_rp)
+            ct_rt = jnp.where(sel, ctc[2 * k_slots + k], ct_rt)
+
+        # r_min_ph cotangent: inject at the (bit-exact) argmin step
+        hitmin = advance & (dmin == rmin_fin) & (injected == I(0))
+        ct_dmin = jnp.where(hitmin, ct_rmin, zero)
+        injected = jnp.where(hitmin, I(1), injected)
+
+        cty6, ctpph_i, ctm_i, cta_i, ctrh_i, ctrph_i = vjp_fn(
+            (ct6, ct_rc, ct_rp, ct_rt, ct_dmin)
+        )
+        return (
+            cty6,
+            ct_pph + ctpph_i,
+            ct_m + ctm_i,
+            ct_a + cta_i,
+            ct_rh + ctrh_i,
+            ct_rph + ctrph_i,
+            injected,
+        )
+
+    def back_block(bi, carry):
+        b = n_blocks - 1 - bi
+        ct6, ct_pph, ct_m, ct_a, ct_rh, ct_rph, injected = carry
+        ckf = ck_f[b]
+        cki = ck_i[b]
+        y6c = (ckf[0], ckf[1], ckf[2], ckf[3], ckf[4], ckf[5])
+        hitc = cki[0]
+        ncc = cki[1]
+        live = jnp.max(jnp.where(hitc == I(HIT_NONE), I(1), I(0))) > I(0)
+
+        def process(carry):
+            ct6, ct_pph, ct_m, ct_a, ct_rh, ct_rph, injected = carry
+
+            # re-forward the block into the step stack
+            def stash(j, c):
+                i, y6, hit, nc = c
+                st_f[j] = jnp.stack(list(y6))
+                st_i[j] = jnp.stack([hit, nc])
+                return step_fwd(c)
+
+            jax.lax.fori_loop(
+                0, CKPT, stash, (I(b * CKPT), y6c, hitc, ncc)
+            )
+
+            # backward through the stack
+            def bstep(j, c):
+                ct6, ct_pph, ct_m, ct_a, ct_rh, ct_rph, injected = c
+                jj = CKPT - 1 - j
+                sf = st_f[jj]
+                si = st_i[jj]
+                y6 = (sf[0], sf[1], sf[2], sf[3], sf[4], sf[5])
+                return vjp_step(
+                    y6, si[0], I(b * CKPT) + jj, si[1],
+                    ct6, ct_pph, ct_m, ct_a, ct_rh, ct_rph, injected,
+                )
+
+            return jax.lax.fori_loop(
+                0, CKPT, bstep,
+                (ct6, ct_pph, ct_m, ct_a, ct_rh, ct_rph, injected),
+            )
+
+        return jax.lax.cond(
+            live, process, lambda c: c,
+            (ct6, ct_pph, ct_m, ct_a, ct_rh, ct_rph, injected),
+        )
+
+    out = jax.lax.fori_loop(
+        0, n_blocks, back_block,
+        (ct6, ct_pph, ct_m, ct_a, ct_rh, ct_rph, injected),
+    )
+    ct6, ct_pph, ct_m, ct_a, ct_rh, ct_rph, injected = out
+
+    # r_min_ph initial-value case: no step beat |r0 - r_ph|
+    init_min = (injected == I(0)) & (jnp.abs(y0[1] - r_ph) == rmin_fin)
+    ct_r0_extra = jnp.where(
+        init_min, ct_rmin * jnp.sign(y0[1] - r_ph), zero
+    )
+    ct_rph = ct_rph + jnp.where(init_min, -ct_rmin * jnp.sign(y0[1] - r_ph),
+                                zero)
+
+    cty0_ref[0] = jnp.stack([
+        ct6[0], ct6[1] + ct_r0_extra, ct6[2], ct6[3], ct6[4], ct6[5], ct_pph,
+    ])
+    ctp_ref[0] = jnp.stack([
+        ct_m, ct_a, ct_rh, ct_rph, zero, zero, zero, zero,
+    ])
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+def pallas_march_grad(yt0, thr, m, a, r_h, r_ph, cfg,
+                      ct_fin, ct_cr, ct_cp, ct_ct, ct_rmin, rmin_fin,
+                      interpret: bool = False):
+    """Tile-parallel march VJP. ``yt0``: (8, N) u-chart rows (p_t = -1
+    normalized); ``ct_fin``: (8, N) cotangent of the final state rows
+    (p_t slot ignored); ``ct_cr/cp/ct``: (K, N) crossing cotangents;
+    ``ct_rmin``/``rmin_fin``: (N,). Returns (ct_yt0 (8, N) with zeros in
+    the p_t row, ct_m, ct_a, ct_rh, ct_rph) — scalars reduced over rays.
+    """
+    n = yt0.shape[1]
+    k_slots = cfg.max_crossings
+    n_pad = _cdiv(n, TILE) * TILE
+    pad1 = lambda x: jnp.pad(x, (0, n_pad - n)) if n_pad != n else x
+    pad2 = lambda x: (
+        jnp.pad(x, ((0, 0), (0, n_pad - n))) if n_pad != n else x
+    )
+    yt0p = pad2(yt0)
+    # Padded rays: born dead (r=0 < thr=1e9 is false... set thr huge)
+    thrp = jnp.pad(thr, (0, n_pad - n), constant_values=1e9) \
+        if n_pad != n else thr
+    y7 = jnp.concatenate([yt0p[:4], yt0p[5:8]], axis=0)  # drop p_t row
+    ctf = jnp.concatenate([pad2(ct_fin[:4]), pad2(ct_fin[5:8])], axis=0)
+    ctc = jnp.concatenate([pad2(ct_cr), pad2(ct_cp), pad2(ct_ct)], axis=0)
+
+    nb = n_pad // TILE
+    resh = lambda x, rows: x.reshape(rows, nb, SUB, LANE).transpose(1, 0, 2, 3)
+    y7r = resh(y7, 7)
+    ctfr = resh(ctf, 7)
+    ctcr = resh(ctc, 3 * k_slots)
+    thrr = thrp.reshape(nb, SUB, LANE)
+    ctrr = pad1(ct_rmin).reshape(nb, SUB, LANE)
+    rminr = pad1(rmin_fin).reshape(nb, SUB, LANE)
+
+    params = jnp.stack(
+        [m, a, r_h, r_ph] + [jnp.zeros_like(m)] * 4
+    ).reshape(1, 8).astype(jnp.float32)
+
+    kernel = functools.partial(
+        _grad_kernel, cfg=cfg,
+        approx_recip=cfg.approx_recip and not interpret,
+    )
+    spec = lambda rows: pl.BlockSpec(
+        (1, rows, SUB, LANE), lambda i: (i, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    spec3 = pl.BlockSpec((1, SUB, LANE), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    n_blocks = _cdiv(cfg.max_steps, CKPT)
+    with jax.enable_x64(False):
+        cty0, ctp = pl.pallas_call(
+            kernel,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                spec(7), spec3, spec(7), spec(3 * k_slots), spec3, spec3,
+            ],
+            out_specs=(spec(7), spec(8)),
+            out_shape=(
+                jax.ShapeDtypeStruct((nb, 7, SUB, LANE), jnp.float32),
+                jax.ShapeDtypeStruct((nb, 8, SUB, LANE), jnp.float32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((n_blocks, 6, SUB, LANE), jnp.float32),
+                pltpu.VMEM((n_blocks, 2, SUB, LANE), jnp.int32),
+                pltpu.VMEM((CKPT, 6, SUB, LANE), jnp.float32),
+                pltpu.VMEM((CKPT, 2, SUB, LANE), jnp.int32),
+            ],
+            interpret=interpret,
+        )(params, y7r, thrr, ctfr, ctcr, ctrr, rminr)
+
+    flat = lambda x, rows: x.transpose(1, 0, 2, 3).reshape(rows, n_pad)[:, :n]
+    cty0 = flat(cty0, 7)
+    ctp = flat(ctp, 8)
+    ct_yt0 = jnp.concatenate(
+        [cty0[:4], jnp.zeros((1, n), jnp.float32), cty0[4:7]], axis=0
+    )
+    return (
+        ct_yt0,
+        jnp.sum(ctp[0]), jnp.sum(ctp[1]), jnp.sum(ctp[2]), jnp.sum(ctp[3]),
+    )

@@ -115,6 +115,89 @@ def from_block_order(x: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
     return x[:height, :width].reshape(height * width, *tail)
 
 
+@jax.custom_vjp
+def recip_approx(x):
+    """TPU approximate reciprocal with a VJP (d(1/x) = -y^2 dx using the
+    approximate y itself): pl.reciprocal has no differentiation rule, and
+    the gradient kernel (ops/pallas_grad.py) must differentiate through
+    the bit-exact replay of an approx-recip forward."""
+    return pl.reciprocal(x, approx=True)
+
+
+def _recip_fwd(x):
+    y = pl.reciprocal(x, approx=True)
+    return y, y
+
+
+def _recip_bwd(y, ct):
+    return (-y * y * ct,)
+
+
+recip_approx.defvjp(_recip_fwd, _recip_bwd)
+
+
+def make_div_recip(approx_recip: bool):
+    """(div, recip) pair: exact division in interpret mode (bit-parity with
+    the jnp path), TPU approximate-reciprocal + multiply on hardware (the
+    periodic renormalization absorbs the truncation)."""
+    if approx_recip:
+        return (lambda num, den: num * recip_approx(den), recip_approx)
+    return (lambda num, den: num / den), None
+
+
+def diff_step_values(m, a, r_h, r_ph, cfg, approx_recip, rows):
+    """The pure (differentiable) value computations of one march step.
+
+    ``rows`` = (t, r, u, ph, pr, pu, pph); p_t is the implicit scalar -1.
+    Returns (nt, nr, nu, nph, npr, npu, r_c, phi_c, t_c): the stepped state
+    and the interpolated equator-crossing record values (meaningful only
+    where the caller's crossing mask holds). Shared by the forward kernels'
+    step bodies and the gradient kernel's per-step VJP composite
+    (ops/pallas_grad.py) — one DAG, so the replay is bit-exact.
+    """
+    t, r, u, ph, pr, pu, pph = rows
+    dt = r.dtype
+    F = lambda v: jnp.asarray(v, dt)
+    div, recip = make_div_recip(approx_recip)
+    pt_ = F(-1.0)
+    inv_rph = F(1.0) / jnp.maximum(r_ph, F(1e-3))
+
+    base = (r - r_h) * F(cfg.step_rate)
+    far = jnp.maximum(r / F(cfg.far_boost_radius), F(1.0))
+    prox = jnp.clip(jnp.abs(r - r_ph) * inv_rph, F(0.25), F(1.0))
+    if cfg.far_step_cap_rate > 0.0:
+        cap = jnp.maximum(F(cfg.max_step), F(cfg.far_step_cap_rate) * r)
+    else:
+        cap = F(cfg.max_step)
+    dlam = jnp.clip(base * far * prox, F(cfg.min_step), cap)
+
+    # Pole throttle — same floor as the jnp path (render/march.py).
+    w = jnp.maximum(F(1.0) - u * u, F(w_floor(dt)))
+    sig = r * r + a * a * u * u
+    du_rate = jnp.abs(w * pu / sig) + F(1e-12)
+    margin = F(1.0) - jnp.abs(u) + F(1e-6)
+    dlam = jnp.minimum(
+        dlam, jnp.maximum(div(F(0.5) * margin, du_rate), F(cfg.min_step))
+    )
+
+    nt, nr, nu, nph, npr, npu = ks_symplectic_step_rows(
+        m, a, (t, r, u, ph, pt_, pr, pu, pph), dlam,
+        cfg.midpoint_iters, recip,
+    )
+    nu = jnp.clip(nu, F(-1.0 + 1e-7), F(1.0 - 1e-7))
+
+    # Equator-crossing record values (chunks/disk.ts:22-31 interpolation).
+    frac = jnp.clip(
+        div(u, jnp.where(jnp.abs(u - nu) < F(1e-12), F(1e-12), u - nu)),
+        F(0.0),
+        F(1.0),
+    )
+    r_c = r + frac * (nr - r)
+    phi_c = ph + frac * (nph - ph)
+    t_c = t + frac * (nt - t)
+    return nt, nr, nu, nph, npr, npu, r_c, phi_c, t_c
+
+
 def march_tile(m, a, r_h, r_ph, thr, rows0, cfg, approx_recip=False):
     """The VMEM-resident march loop on one tile of rays.
 
@@ -163,61 +246,21 @@ def march_tile(m, a, r_h, r_ph, thr, rows0, cfg, approx_recip=False):
         n_live = jnp.max(jnp.where(hit == I(HIT_NONE), I(1), I(0)))
         return (i < I(cfg.max_steps)) & (n_live > I(0))
 
-    # Exact division in interpret mode (bit-parity with the jnp path), TPU
-    # approximate-reciprocal + multiply on hardware (the periodic
-    # renormalization absorbs the truncation).
-    if approx_recip:
-        div = lambda num, den: num * pl.reciprocal(den, approx=True)
-        recip = lambda x: pl.reciprocal(x, approx=True)
-    else:
-        div = lambda num, den: num / den
-        recip = None
-
     def body(carry):
         i, t, r, u, ph, pr, pu, hit, steps, cr, cp, ct, nc, rmin = carry
         # i < max_steps guard: the batched exit check can run past the step
         # budget; those overshoot steps must be no-ops for jnp-path parity.
         active = (hit == I(HIT_NONE)) & (i < I(cfg.max_steps))
 
-        base = (r - r_h) * F(cfg.step_rate)
-        far = jnp.maximum(r / F(cfg.far_boost_radius), F(1.0))
-        prox = jnp.clip(jnp.abs(r - r_ph) * inv_rph, F(0.25), F(1.0))
-        if cfg.far_step_cap_rate > 0.0:
-            cap = jnp.maximum(F(cfg.max_step), F(cfg.far_step_cap_rate) * r)
-        else:
-            cap = F(cfg.max_step)
-        dlam = jnp.clip(base * far * prox, F(cfg.min_step), cap)
-
-        # Same pole floor as the jnp path (render/march.py) — the two paths
-        # must compute identical dlam for near-axis rays or trajectories
-        # silently diverge (w_floor is 1e-6 in f32, 1e-12 in f64).
-        w = jnp.maximum(F(1.0) - u * u, F(w_floor(dt)))
-        sig = r * r + a * a * u * u
-        du_rate = jnp.abs(w * pu / sig) + F(1e-12)
-        margin = F(1.0) - jnp.abs(u) + F(1e-6)
-        dlam = jnp.minimum(
-            dlam, jnp.maximum(div(F(0.5) * margin, du_rate), F(cfg.min_step))
+        nt, nr, nu, nph, npr, npu, r_c, phi_c, t_c = diff_step_values(
+            m, a, r_h, r_ph, cfg, approx_recip, (t, r, u, ph, pr, pu, pph_)
         )
-
-        nt, nr, nu, nph, npr, npu = ks_symplectic_step_rows(
-            m, a, (t, r, u, ph, pt_, pr, pu, pph_), dlam,
-            cfg.midpoint_iters, recip,
-        )
-        nu = jnp.clip(nu, F(-1.0 + 1e-7), F(1.0 - 1e-7))
 
         # Equator-crossing record, unconditionally masked: the earlier
         # tile-level lax.cond needed a cross-lane any() reduce + scalar
         # branch EVERY step, which stalls the pipeline for longer than the
         # ~K masked selects it saved.
         maybe = active & ((u * nu) < F(0.0)) & (nc < I(k_slots))
-        frac = jnp.clip(
-            div(u, jnp.where(jnp.abs(u - nu) < F(1e-12), F(1e-12), u - nu)),
-            F(0.0),
-            F(1.0),
-        )
-        r_c = r + frac * (nr - r)
-        phi_c = ph + frac * (nph - ph)
-        t_c = t + frac * (nt - t)
         crossed = (
             maybe & (r_c > F(cfg.record_r_min)) & (r_c < F(cfg.record_r_max))
         )

@@ -22,9 +22,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from blackhole_simulation_tpu.geometry.metrics import KS, Kerr
-from blackhole_simulation_tpu.render.camera import camera_rays
-from blackhole_simulation_tpu.render.march import march
-from blackhole_simulation_tpu.render.pipeline import Scene, halton_jitters, shade_sample
+from blackhole_simulation_tpu.render.camera import camera_rays_u
+from blackhole_simulation_tpu.render.march import march_rows
+from blackhole_simulation_tpu.render.pipeline import (
+    Scene,
+    halton_jitters,
+    shade_march_rows,
+)
 from blackhole_simulation_tpu.render.post import tonemap
 
 
@@ -82,21 +86,32 @@ def render_sharded(
 
     spec = P(mesh.axis_names, None)
 
-    def shard_fn(ray_shard):
-        result = march(ray_shard, bh, cfg)
-        return shade_sample(result, bh, scene, dtype, ray_shard)
+    # Row-native shard body: the same camera_rays_u -> march_rows ->
+    # shade_march_rows pipeline as the single-device render_sample, so
+    # sharded and single-device images share one ulp stream (rays shard as
+    # (8, N) rows along N).
+    spec_rows = P(None, mesh.axis_names)
+
+    def shard_fn(rays_u):
+        rows = march_rows(rays_u, bh, cfg)
+        lam = -rays_u[7] / jnp.where(
+            jnp.abs(rays_u[4]) < 1e-12, -1.0, rays_u[4]
+        )
+        rgb = shade_march_rows(rows, bh, scene, dtype, lam)
+        return jnp.stack(rgb, axis=-1)
 
     sharded = shard_map(
-        shard_fn, mesh=mesh, in_specs=(spec,), out_specs=spec, check_vma=False
+        shard_fn, mesh=mesh, in_specs=(spec_rows,), out_specs=spec,
+        check_vma=False,
     )
 
     def one_sample(jitter):
-        rays = camera_rays(cam, bh, jitter=jitter, dtype=dtype)
+        rays = camera_rays_u(cam, bh, jitter=jitter, dtype=dtype)  # (8, N)
         if use_pallas:
-            rays = to_block_order(rays, h, w)
-        n = rays.shape[0]
+            rays = to_block_order(rays.T, h, w).T
+        n = rays.shape[1]
         n_pad = _pad_to(n, pad_unit)
-        rays = jnp.pad(rays, ((0, n_pad - n), (0, 0)))
+        rays = jnp.pad(rays, ((0, 0), (0, n_pad - n)))
         # Padding rays start at r = 0 -> dead at step 0; cropped below.
         rgb = sharded(rays)[:n]
         if use_pallas:

@@ -275,6 +275,95 @@ def march(
     )
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _march_kernel_diff(yt0, thr, m, a, r_h, r_ph, cfg):
+    """Pallas march with a Pallas backward (ops/pallas_grad.py).
+
+    Differentiable in (yt0, m, a, r_h, r_ph); thr is a termination radius
+    (a.e. zero gradient). Returns the pallas_march_u output tuple.
+    """
+    from blackhole_simulation_tpu.ops.pallas_march import pallas_march_u
+
+    interpret = jax.default_backend() != "tpu"
+    return pallas_march_u(yt0, thr, m, a, r_h, r_ph, cfg, interpret=interpret)
+
+
+def _march_kd_fwd(yt0, thr, m, a, r_h, r_ph, cfg):
+    outs = _march_kernel_diff(yt0, thr, m, a, r_h, r_ph, cfg)
+    rmin = outs[7]
+    return outs, (yt0, thr, m, a, r_h, r_ph, rmin)
+
+
+def _march_kd_bwd(cfg, res, cts):
+    from blackhole_simulation_tpu.ops.pallas_grad import pallas_march_grad
+
+    yt0, thr, m, a, r_h, r_ph, rmin = res
+    ct_yt, _ct_hit, _ct_steps, ct_cr, ct_cp, ct_ct, _ct_nc, ct_rmin = cts
+    interpret = jax.default_backend() != "tpu"
+    ct_yt0, ct_m, ct_a, ct_rh, ct_rph = pallas_march_grad(
+        yt0, thr, m, a, r_h, r_ph, cfg,
+        ct_yt, ct_cr, ct_cp, ct_ct, ct_rmin, rmin,
+        interpret=interpret,
+    )
+    return (
+        ct_yt0,
+        jnp.zeros_like(thr),
+        ct_m.astype(m.dtype),
+        ct_a.astype(a.dtype),
+        ct_rh.astype(r_h.dtype),
+        ct_rph.astype(r_ph.dtype),
+    )
+
+
+_march_kernel_diff.defvjp(_march_kd_fwd, _march_kd_bwd)
+
+
+def march_rows_ad(
+    yt0: jnp.ndarray,
+    bh: Kerr,
+    cfg: MarchConfig = MarchConfig(),
+    thr: jnp.ndarray | None = None,
+):
+    """march_rows with BOTH sweeps as Pallas kernels: the forward tile
+    march (ops/pallas_march.py) and a checkpoint/replay VMEM backward
+    (ops/pallas_grad.py) — reverse-mode at kernel speed, SURVEY §5.7's
+    long-sequence backward. No jets (per-step accumulation stays on the
+    jnp AD path); gradients flow to rays, spin/mass and derived radii.
+    """
+    assert bh.chart == KS
+    dtype = yt0.dtype
+    n = yt0.shape[1]
+    m_bh = bh.mass.astype(dtype)
+    a_bh = bh.spin.astype(dtype)
+    r_h = bh.event_horizon().astype(dtype)
+    r_ph = bh.photon_sphere().astype(dtype)
+    if thr is None:
+        thr = jax.lax.stop_gradient(precull_threshold(yt0, bh, cfg))
+
+    # Normalization + birth renorm in jnp (their VJPs via ordinary AD).
+    inv_e = -1.0 / jnp.where(jnp.abs(yt0[4]) < 1e-12, -1.0, yt0[4])
+    yt0 = jnp.concatenate(
+        [yt0[:4], -jnp.ones_like(yt0[4:5]), yt0[5:8] * inv_e[None, :]],
+        axis=0,
+    )
+    yt0 = ks_renormalize_u(m_bh, a_bh, yt0)
+
+    yt, hit, steps, cr, cp, ct, ncross, rmin = _march_kernel_diff(
+        yt0, thr, m_bh, a_bh, r_h, r_ph, cfg
+    )
+    return MarchRows(
+        state_u=yt,
+        hit=hit,
+        steps=steps,
+        cross_r=cr,
+        cross_phi=cp,
+        cross_t=ct,
+        n_crossings=ncross,
+        jet_radiance=jnp.zeros((3, n), dtype=dtype),
+        r_min_ph=rmin,
+    )
+
+
 def march_rows(
     yt0: jnp.ndarray,
     bh: Kerr,
