@@ -149,9 +149,10 @@ def diff_step_values(m, a, r_h, r_ph, cfg, approx_recip, rows):
     """The pure (differentiable) value computations of one march step.
 
     ``rows`` = (t, r, u, ph, pr, pu, pph); p_t is the implicit scalar -1.
-    Returns (nt, nr, nu, nph, npr, npu, r_c, phi_c, t_c): the stepped state
-    and the interpolated equator-crossing record values (meaningful only
-    where the caller's crossing mask holds). Shared by the forward kernels'
+    Returns (nt, nr, nu, nph, npr, npu, r_c, phi_c, t_c, dlam): the stepped
+    state, the interpolated equator-crossing record values (meaningful only
+    where the caller's crossing mask holds), and the affine step taken
+    (consumed by the jet accumulator). Shared by the forward kernels'
     step bodies and the gradient kernel's per-step VJP composite
     (ops/pallas_grad.py) — one DAG, so the replay is bit-exact.
     """
@@ -195,17 +196,21 @@ def diff_step_values(m, a, r_h, r_ph, cfg, approx_recip, rows):
     r_c = r + frac * (nr - r)
     phi_c = ph + frac * (nph - ph)
     t_c = t + frac * (nt - t)
-    return nt, nr, nu, nph, npr, npu, r_c, phi_c, t_c
+    return nt, nr, nu, nph, npr, npu, r_c, phi_c, t_c, dlam
 
 
-def march_tile(m, a, r_h, r_ph, thr, rows0, cfg, approx_recip=False):
+def march_tile(m, a, r_h, r_ph, thr, rows0, cfg, approx_recip=False,
+               jets=None):
     """The VMEM-resident march loop on one tile of rays.
 
     ``rows0``: 7 arrays (t, r, u, ph, p_r, p_u, p_phi) of a common 2-D
     (sublane, lane) shape — p_t is the implicit scalar -1 (callers
-    normalize). Shared by the march-only kernel (_march_kernel) and the
-    fused render kernel (ops/pallas_render.py). Returns
-    (t, r, u, ph, pr, pu, hit, steps, cr, cp, ct, nc, rmin).
+    normalize). ``jets``: optional shading.JetParams — per-step optically-
+    thin jet emission accumulates into 3 extra carry rows (VERDICT r3
+    item 5: the full-featured scene runs the fast path). Shared by the
+    march-only kernel (_march_kernel) and the fused render kernel
+    (ops/pallas_render.py). Returns
+    (t, r, u, ph, pr, pu, hit, steps, cr, cp, ct, nc, rmin, (jr, jg, jb)).
     """
     t0_, r0_, u0_, ph0_, pr0_, pu0_, pph_ = rows0
     dt = r0_.dtype
@@ -247,14 +252,42 @@ def march_tile(m, a, r_h, r_ph, thr, rows0, cfg, approx_recip=False):
         return (i < I(cfg.max_steps)) & (n_live > I(0))
 
     def body(carry):
-        i, t, r, u, ph, pr, pu, hit, steps, cr, cp, ct, nc, rmin = carry
+        if jets is not None:
+            (i, t, r, u, ph, pr, pu, hit, steps, cr, cp, ct, nc, rmin,
+             jet) = carry
+        else:
+            i, t, r, u, ph, pr, pu, hit, steps, cr, cp, ct, nc, rmin = carry
+            jet = None
         # i < max_steps guard: the batched exit check can run past the step
         # budget; those overshoot steps must be no-ops for jnp-path parity.
         active = (hit == I(HIT_NONE)) & (i < I(cfg.max_steps))
 
-        nt, nr, nu, nph, npr, npu, r_c, phi_c, t_c = diff_step_values(
+        nt, nr, nu, nph, npr, npu, r_c, phi_c, t_c, dlam = diff_step_values(
             m, a, r_h, r_ph, cfg, approx_recip, (t, r, u, ph, pr, pu, pph_)
         )
+
+        if jets is not None:
+            # Per-step optically-thin jet emission — same expression as the
+            # jnp path (render/march.py), on the pre-advance state.
+            from blackhole_simulation_tpu.render.shading import (
+                jet_emission_step,
+            )
+            from blackhole_simulation_tpu.ops.ks_kernel import w_floor as _wf
+
+            div_, recip_ = make_div_recip(approx_recip)
+            inv = recip_(dlam) if recip_ is not None else 1.0 / dlam
+            w_ = jnp.maximum(F(1.0) - u * u, F(_wf(dt)))
+            st_ = jnp.sqrt(w_)
+            c_r, c_g, c_b = jet_emission_step(
+                jets, r, st_, u, ph,
+                (nr - r) * inv, -(nu - u) * inv / st_, (nph - ph) * inv,
+                dlam, dt,
+            )
+            jet = (
+                jet[0] + jnp.where(active, c_r, F(0.0)),
+                jet[1] + jnp.where(active, c_g, F(0.0)),
+                jet[2] + jnp.where(active, c_b, F(0.0)),
+            )
 
         # Equator-crossing record, unconditionally masked: the earlier
         # tile-level lax.cond needed a cross-lane any() reduce + scalar
@@ -303,16 +336,19 @@ def march_tile(m, a, r_h, r_ph, thr, rows0, cfg, approx_recip=False):
                 ks_renormalize_pr(m, a, r, u, pt_, pr, pu, pph_),
                 pr,
             )
-        return i + I(1), t, r, u, ph, pr, pu, hit, steps, cr, cp, ct, nc, rmin
+        out = (i + I(1), t, r, u, ph, pr, pu, hit, steps, cr, cp, ct, nc,
+               rmin)
+        return out + ((jet,) if jets is not None else ())
 
     def _apply_renorm(c):
-        i, t, r, u, ph, pr, pu, hit, steps, cr, cp, ct, nc, rmin = c
+        i, t, r, u, ph, pr, pu, hit, steps, cr, cp, ct, nc, rmin = c[:14]
         pr = jnp.where(
             hit == I(HIT_NONE),
             ks_renormalize_pr(m, a, r, u, pt_, pr, pu, pph_),
             pr,
         )
-        return i, t, r, u, ph, pr, pu, hit, steps, cr, cp, ct, nc, rmin
+        return (i, t, r, u, ph, pr, pu, hit, steps, cr, cp, ct, nc,
+                rmin) + tuple(c[14:])
 
     def body_block(carry):
         # exit_every steps per tile-exit check; dynamic-bound while_loop so
@@ -344,10 +380,14 @@ def march_tile(m, a, r_h, r_ph, thr, rows0, cfg, approx_recip=False):
         jnp.zeros(shape, jnp.int32),
         jnp.abs(r0_ - r_ph),
     )
+    if jets is not None:
+        zj = jnp.zeros(shape, dt)
+        carry = carry + ((zj, zj, zj),)
     out = jax.lax.while_loop(cond, body_block, carry)
-    _, t, r, u, ph, pr, pu, hit, steps, cr, cp, ct, nc, rmin = out
+    _, t, r, u, ph, pr, pu, hit, steps, cr, cp, ct, nc, rmin = out[:14]
+    jet = out[14] if jets is not None else None
     hit = jnp.where(hit == I(HIT_NONE), I(HIT_HORIZON), hit)
-    return t, r, u, ph, pr, pu, hit, steps, cr, cp, ct, nc, rmin
+    return t, r, u, ph, pr, pu, hit, steps, cr, cp, ct, nc, rmin, jet
 
 
 def _march_kernel(params_ref, y_ref, thr_ref, yo_ref, hit_ref, steps_ref,
@@ -364,7 +404,7 @@ def _march_kernel(params_ref, y_ref, thr_ref, yo_ref, hit_ref, steps_ref,
     r_h = params_ref[0, 2]
     r_ph = params_ref[0, 3]
     rows0 = (yt0[0], yt0[1], yt0[2], yt0[3], yt0[5], yt0[6], yt0[7])
-    t, r, u, ph, pr, pu, hit, steps, cr, cp, ct, nc, rmin = march_tile(
+    t, r, u, ph, pr, pu, hit, steps, cr, cp, ct, nc, rmin, _ = march_tile(
         m, a, r_h, r_ph, thr_ref[0], rows0, cfg, approx_recip
     )
     yo_ref[0] = jnp.stack(

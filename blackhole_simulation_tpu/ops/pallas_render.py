@@ -127,7 +127,8 @@ def _clenshaw_smem(params_ref, base: int, K: int, t):
 
 
 def _render_kernel(params_ref, r_ref, g_ref, b_ref, *, cfg, features, disk,
-                   stars, width, height, approx_recip, precull_on):
+                   stars, jet_params, width, height, approx_recip,
+                   precull_on):
     dt = r_ref.dtype
     F = lambda v: jnp.asarray(v, dt)
     sp = lambda i: params_ref[0, i]
@@ -204,8 +205,11 @@ def _render_kernel(params_ref, r_ref, g_ref, b_ref, *, cfg, features, disk,
 
     # --- march (shared VMEM tile loop) ---
     rows0 = (zero, r_row, u_row, ph_row, pr, pu, pph)
-    t, r, u, ph, pr_f, pu_f, hit, steps, cr, cp, ct, nc, rmin = march_tile(
-        m, a, r_h, r_ph, thr, rows0, cfg, approx_recip
+    t, r, u, ph, pr_f, pu_f, hit, steps, cr, cp, ct, nc, rmin, jet = (
+        march_tile(
+            m, a, r_h, r_ph, thr, rows0, cfg, approx_recip,
+            jets=jet_params if features.jets else None,
+        )
     )
 
     # --- composite (shade_march_rows twin) ---
@@ -249,6 +253,11 @@ def _render_kernel(params_ref, r_ref, g_ref, b_ref, *, cfg, features, disk,
                             params=stars)
         w_bg = jnp.where(escaped, trans, F(0.0))
         rgb = tuple(c + w_bg * b for c, b in zip(rgb, bg))
+
+    if features.jets:
+        # Optically-thin jets accumulated per step inside the march loop
+        # (VERDICT r3 item 5: the full-featured scene runs the fast path).
+        rgb = tuple(c + j for c, j in zip(rgb, jet))
 
     if features.photon_ring_glow:
         near = jnp.exp(-14.0 * rmin / jnp.maximum(r_ph, F(1e-3)))
@@ -331,7 +340,7 @@ def _disk_slot_spectral(params_ref, inv_logr, disk, m, a, r_in, r_c,
 
 @functools.partial(jax.jit, static_argnames=("scene_static", "interpret"))
 def _pallas_render(params_row, scene_static, interpret):
-    cfg, features, disk, stars, width, height = scene_static
+    cfg, features, disk, stars, jet_params, width, height = scene_static
     hp = _cdiv(height, SUB) * SUB
     wp = _cdiv(width, LANE) * LANE
     grid = (hp // SUB, wp // LANE)
@@ -341,6 +350,7 @@ def _pallas_render(params_row, scene_static, interpret):
         features=features,
         disk=disk,
         stars=stars,
+        jet_params=jet_params,
         width=width,
         height=height,
         approx_recip=cfg.approx_recip and not interpret,
@@ -446,7 +456,7 @@ def pallas_render_sample(scene, jitter, dtype=jnp.float32):
     row = jnp.pad(row, (0, _P_PAD - row.shape[0])).reshape(1, _P_PAD)
 
     scene_static = (
-        cfg, scene.features, scene.disk, scene.stars,
+        cfg, scene.features, scene.disk, scene.stars, scene.jet_params,
         cam.width, cam.height,
     )
     interpret = jax.default_backend() != "tpu"

@@ -484,7 +484,7 @@ def march_rows(
 
             inv = 1.0 / dlam
             st = jnp.sqrt(w)
-            contrib = jet_emission_step(
+            contrib = jnp.stack(jet_emission_step(
                 jets,
                 r, st, u, ph,
                 (nr - r) * inv,
@@ -492,7 +492,7 @@ def march_rows(
                 (nph - ph) * inv,
                 dlam,
                 dtype,
-            )  # (3, N)
+            ))  # (3, N)
             jet_rgb = jet_rgb + jnp.where(active[None, :], contrib, 0.0)
 
         # Equator-crossing detection: u sign change; interpolate the record

@@ -305,10 +305,11 @@ def render_sample(scene: Scene, jitter, dtype=jnp.float32) -> jnp.ndarray:
         )
     use_pallas = cfg.use_pallas and jets is None
     h, w = scene.camera.height, scene.camera.width
-    if use_pallas and cfg.fused:
+    if cfg.use_pallas and cfg.fused:
         # Fully-fused megakernel: the whole sample in one Pallas program
-        # (ops/pallas_render.py). The scene must carry cfg with any
-        # precull adjustments applied, so rebuild it here.
+        # (ops/pallas_render.py), INCLUDING per-step jet accumulation in
+        # its march loop. The scene must carry cfg with any precull
+        # adjustments applied, so rebuild it here.
         from blackhole_simulation_tpu.ops.pallas_render import (
             pallas_render_sample,
         )
@@ -339,6 +340,27 @@ def render_sample(scene: Scene, jitter, dtype=jnp.float32) -> jnp.ndarray:
     rgb = shade_march_rows(rows, bh, scene, dtype, lam)
     if use_pallas:
         rgb = tuple(from_block_order(c, h, w) for c in rgb)
+    return jnp.stack(rgb, axis=-1)
+
+
+def render_sample_scaled(scene: Scene, jitter=None, dtype=jnp.float32,
+                         density_scale=1.0, intensity_scale=1.0):
+    """render_sample through the jnp rows path with traced disk scales —
+    the differentiable entry the inverse path and the disk-parameter
+    gradient gate use (density/t_peak enter as multiplicative scales on
+    the static DiskParams, parallel/train._forward convention)."""
+    bh = Kerr(
+        mass=scene.bh.mass.astype(dtype),
+        spin=scene.bh.spin.astype(dtype),
+        chart=KS,
+    )
+    rays_u = camera_rays_u(scene.camera, bh, jitter=jitter, dtype=dtype)
+    rows = march_rows(rays_u, bh, scene.march_cfg)
+    lam = -rays_u[7] / jnp.where(jnp.abs(rays_u[4]) < 1e-12, -1.0, rays_u[4])
+    rgb = shade_march_rows(
+        rows, bh, scene, dtype, lam,
+        density_scale=density_scale, intensity_scale=intensity_scale,
+    )
     return jnp.stack(rgb, axis=-1)
 
 

@@ -667,9 +667,11 @@ def jet_emission_step(jets: JetParams, r, st, ct, ph, dr, dth, dph, dlam, dtype)
     noise = value_noise2(az * 0.8, jnp.mod(ph, 2.0 * jnp.pi) * 2.0 + az)
     turb = 1.0 - jets.turbulence + jets.turbulence * (0.5 + noise)
 
-    mag = jnp.where(in_cone, jets.density * dlam * profile * turb * beam, 0.0)
-    color = jnp.array([0.62, 0.74, 1.0], dtype=dtype)  # synchrotron blue-white
-    return color[:, None] * mag[None, :].astype(dtype)
+    mag = jnp.where(in_cone, jets.density * dlam * profile * turb * beam,
+                    0.0).astype(dtype)
+    # Channel tuple (not a stacked (3, N) array): shape-agnostic, so the
+    # Pallas march kernels accumulate the same expression on (S, L) tiles.
+    return (0.62 * mag, 0.74 * mag, 1.0 * mag)
 
 
 @dataclasses.dataclass(frozen=True)

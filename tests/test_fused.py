@@ -95,11 +95,17 @@ class TestFusedParity:
         assert np.isfinite(ia).all()
         assert np.abs(ia - ib).mean() < 1e-4
 
-    def test_jets_falls_back_to_staged(self):
-        # Jets need per-step accumulation: the fused dispatch must fall back
-        # (identical images by construction — same jnp path).
+    def test_jets_in_kernel_match_jnp(self):
+        # Per-step jet accumulation runs INSIDE the fused kernel's march
+        # loop (VERDICT r3 item 5) — parity with the jnp path's per-step
+        # accumulation.
         feats = Features(jets=True)
         fused, staged = _pair(48, 24, feats=feats)
         ia = np.asarray(render_radiance(fused))
         ib = np.asarray(render_radiance(staged))
-        np.testing.assert_allclose(ia, ib, atol=1e-6)
+        d = np.abs(ia - ib)
+        assert np.isfinite(ia).all()
+        assert np.percentile(d, 99) < 1e-4, np.percentile(d, 99)
+        # the jets must actually emit something
+        no_jets, _ = _pair(48, 24, feats=Features())
+        assert np.abs(ia - np.asarray(render_radiance(no_jets))).max() > 1e-4
