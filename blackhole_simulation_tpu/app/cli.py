@@ -294,6 +294,30 @@ def cmd_inverse(args) -> int:
     return 0
 
 
+def cmd_live(args) -> int:
+    from blackhole_simulation_tpu.app.live import run_live
+
+    stats = run_live(
+        width=args.width, height=args.height, mass=args.mass, spin=args.spin,
+        frames=args.frames, script=args.script, out_dir=args.out_dir,
+        term_cols=args.term_cols, quality=args.quality,
+    )
+    import numpy as np
+
+    fps = np.asarray(stats["fps"][2:] or [0.0])
+    print(json.dumps({
+        "frames": stats["frames"],
+        "fps_mean": round(float(fps.mean()), 2),
+        "fps_p5": round(float(np.percentile(fps, 5)), 2),
+        "final_scale": stats["scales"][-1] if stats["scales"] else None,
+        "scale_changes": int(
+            sum(1 for a, b in zip(stats["scales"], stats["scales"][1:])
+                if a != b)
+        ),
+    }))
+    return 0
+
+
 def cmd_state(args) -> int:
     from blackhole_simulation_tpu.app.state import encode_state
 
@@ -379,6 +403,24 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--init-spin", type=float, default=0.5)
     p.add_argument("--checkpoint-dir", default=None)
     p.set_defaults(fn=cmd_inverse)
+
+    p = sub.add_parser(
+        "live",
+        help="interactive session: engine heartbeat + keyboard/scripted "
+        "input -> adaptive-resolution render -> terminal display",
+    )
+    p.add_argument("--width", type=int, default=1280)
+    p.add_argument("--height", type=int, default=720)
+    p.add_argument("--mass", type=float, default=1.0)
+    p.add_argument("--spin", type=float, default=0.9)
+    p.add_argument("--frames", type=int, default=0,
+                   help="stop after N frames (0 = until q)")
+    p.add_argument("--script", choices=["orbit", "dive", "shake"],
+                   default=None, help="canned input stream (headless)")
+    p.add_argument("--out-dir", default=None, help="PNG stream directory")
+    p.add_argument("--term-cols", type=int, default=120)
+    p.add_argument("--quality", default="high")
+    p.set_defaults(fn=cmd_live)
 
     p = sub.add_parser("state", help="print the shareable state string")
     _add_param_args(p)

@@ -75,6 +75,74 @@ def nrs_from_flat(flat: np.ndarray):
     return params
 
 
+def nrs_far_field_rows(params, rays_u, bh, b_min: float = 12.0):
+    """Far-field march skip (the reference's NRS roadmap use,
+    _legacy_src/training.rs + shaders/compute/mlp.wgsl): for rays whose
+    total impact parameter b = sqrt(eta + lambda^2) exceeds ``b_min``, the
+    surrogate's deflection angle replaces the march — the incoming
+    direction is rotated by alpha(b) about the orbital-plane normal
+    (Rodrigues), toward the hole.
+
+    ``rays_u``: (8, N) u-chart rows with p_t = -1. Returns
+    (far_mask (N,), (dx, dy, dz) deflected escape-direction rows). The
+    caller composites starfield(dirs) into far pixels and terminates their
+    march at birth (render/pipeline.py, Features.nrs_far_field).
+    """
+    from blackhole_simulation_tpu.render.shading import (
+        escape_direction_u_rows,
+    )
+
+    dt = rays_u.dtype
+    r, u, ph = rays_u[1], rays_u[2], rays_u[3]
+    pu, pph = rays_u[6], rays_u[7]
+    w = jnp.maximum(1.0 - u * u, 1e-12)
+    lam = pph  # p_t = -1
+    eta = pu * pu * w + u * u * (pph * pph / w - bh.spin.astype(dt) ** 2)
+    b = jnp.sqrt(jnp.maximum(eta + lam * lam, 1e-12))
+    far = b > b_min
+
+    # Incoming travel direction and position in Cartesian.
+    rows = tuple(rays_u[i] for i in range(8))
+    vx, vy, vz = escape_direction_u_rows(rows, bh)
+    s = jnp.sqrt(w)
+    px = r * s * jnp.cos(ph)
+    py = r * s * jnp.sin(ph)
+    pz = r * u
+
+    # Surrogate deflection at (b, theta_obs, a); input normalization as in
+    # generate_training_data. Deflection sign: the equatorial family is
+    # labeled with signed b (prograde/retrograde); a general ray's bend is
+    # toward the hole in its own orbital plane, so evaluate at |b| with the
+    # ray's prograde sign lam/|lam| folded into the rotation axis below.
+    theta_row = jnp.arccos(jnp.clip(u, -1.0, 1.0))
+    x_in = jnp.stack(
+        [jnp.abs(b) / 40.0, theta_row / jnp.pi,
+         jnp.broadcast_to(bh.spin.astype(dt), b.shape)], axis=-1
+    )
+    pred = nrs_apply(params, x_in)
+    alpha = pred[..., 0]
+
+    # Rotation axis: orbital-plane normal oriented so positive alpha bends
+    # the direction toward the hole (n = normalize(P x V): empirically
+    # validated against the marched escape direction — the flipped axis
+    # doubles the error instead of removing it).
+    nx = py * vz - pz * vy
+    ny = pz * vx - px * vz
+    nz = px * vy - py * vx
+    inv_n = 1.0 / jnp.sqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-20))
+    nx, ny, nz = nx * inv_n, ny * inv_n, nz * inv_n
+    ca = jnp.cos(alpha)
+    sa = jnp.sin(alpha)
+    # Rodrigues (n . v = 0 for the orbital normal): v' = v c + (n x v) s
+    cx = ny * vz - nz * vy
+    cy = nz * vx - nx * vz
+    cz = nx * vy - ny * vx
+    dx = vx * ca + cx * sa
+    dy = vy * ca + cy * sa
+    dz = vz * ca + cz * sa
+    return far, (dx, dy, dz)
+
+
 def generate_training_data(
     n: int = 256,
     spin_range=(-0.99, 0.99),

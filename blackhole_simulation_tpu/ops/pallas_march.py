@@ -199,6 +199,41 @@ def diff_step_values(m, a, r_h, r_ph, cfg, approx_recip, rows):
     return nt, nr, nu, nph, npr, npu, r_c, phi_c, t_c, dlam
 
 
+def start_offset_rows(m, a, r_h, r_ph, cfg, approx_recip, rows):
+    """Blue-noise-decorrelated march start (fragment.glsl.ts:104-109).
+
+    Each ray advances by xi * start_jitter * dlam0 before the march, with
+    xi in [0, 1) hashed from its conserved momenta (a per-pixel value with
+    no spatial structure at banding frequencies — the hash plays the
+    reference's blue-noise texture). Stepping stays on the geodesic
+    ((lambda, eta) conserved), so only the discretization PHASE changes:
+    the correlated stepping bands of neighboring rays decohere into
+    broadband noise the supersampled accumulation averages away.
+    ``rows`` = (t, r, u, ph, pr, pu, pph); returns the offset rows.
+    """
+    from blackhole_simulation_tpu.render.shading import hash21
+
+    t, r, u, ph, pr, pu, pph = rows
+    dt = r.dtype
+    xi = hash21(pph * 977.0, pr * 991.0).astype(dt) * cfg.start_jitter
+    nt, nr, nu, nph, npr, npu, _, _, _, dlam = diff_step_values(
+        m, a, r_h, r_ph, cfg, approx_recip, rows
+    )
+    # One partial step of xi * dlam (re-evaluated at the scaled size).
+    from blackhole_simulation_tpu.ops.ks_kernel import (
+        ks_symplectic_step_rows,
+    )
+
+    _, recip = make_div_recip(approx_recip)
+    pt_ = jnp.asarray(-1.0, dt)
+    ot, orr, ou, oph, opr, opu = ks_symplectic_step_rows(
+        m, a, (t, r, u, ph, pt_, pr, pu, pph), dlam * xi,
+        cfg.midpoint_iters, recip,
+    )
+    ou = jnp.clip(ou, -1.0 + 1e-7, 1.0 - 1e-7)
+    return ot, orr, ou, oph, opr, opu, pph
+
+
 def march_tile(m, a, r_h, r_ph, thr, rows0, cfg, approx_recip=False,
                jets=None):
     """The VMEM-resident march loop on one tile of rays.

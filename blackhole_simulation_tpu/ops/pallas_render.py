@@ -175,6 +175,20 @@ def _render_kernel(params_ref, r_ref, g_ref, b_ref, *, cfg, features, disk,
     # Null projection at birth (march_rows twin).
     pr = ks_renormalize_pr(m, a, r_row, u_row, pt_, pr, pu, pph)
 
+    if cfg.start_jitter > 0.0:
+        # Blue-noise-decorrelated march start (march_rows twin).
+        from blackhole_simulation_tpu.ops.pallas_march import (
+            start_offset_rows,
+        )
+
+        t0j, r_row, u_row, ph_row, pr, pu, _ = start_offset_rows(
+            m, a, r_h, r_ph, cfg, approx_recip,
+            (jnp.zeros(shape, dt), r_row, u_row, ph_row, pr, pu, pph),
+        )
+        zero_t = t0j
+    else:
+        zero_t = jnp.zeros(shape, dt)
+
     # --- shadow precull (capture_mask_u twin; eta_c from SMEM Chebyshev) ---
     hor_thr = sp(_P_HORTHR)
     if precull_on:
@@ -204,7 +218,7 @@ def _render_kernel(params_ref, r_ref, g_ref, b_ref, *, cfg, features, disk,
         thr = zero + hor_thr
 
     # --- march (shared VMEM tile loop) ---
-    rows0 = (zero, r_row, u_row, ph_row, pr, pu, pph)
+    rows0 = (zero_t, r_row, u_row, ph_row, pr, pu, pph)
     t, r, u, ph, pr_f, pu_f, hit, steps, cr, cp, ct, nc, rmin, jet = (
         march_tile(
             m, a, r_h, r_ph, thr, rows0, cfg, approx_recip,

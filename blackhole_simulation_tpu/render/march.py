@@ -121,6 +121,12 @@ class MarchConfig:
     # intermediate HBM traffic. Requires use_pallas; render_sample falls
     # back to the staged path when jets (per-step accumulation) are on.
     fused: bool = False
+    # Blue-noise-decorrelated march start (fragment.glsl.ts:104-109):
+    # advance each ray by a hashed fraction (0..start_jitter) of its first
+    # adaptive step before marching, breaking the correlated stepping
+    # bands of neighboring rays into broadband noise. 0 = off. Not applied
+    # on the AD path (deterministic gradients).
+    start_jitter: float = 0.0
 
 
 # Flags describing how each ray ended (mirrors TerminationReason).
@@ -405,6 +411,19 @@ def march_rows(
     )
 
     yt0 = ks_renormalize_u(m_bh, a_bh, yt0)
+
+    if cfg.start_jitter > 0.0:
+        from blackhole_simulation_tpu.ops.pallas_march import (
+            start_offset_rows,
+        )
+
+        interp = jax.default_backend() != "tpu"
+        rows7 = (yt0[0], yt0[1], yt0[2], yt0[3], yt0[5], yt0[6], yt0[7])
+        ot, orr, ou, oph, opr, opu, _ = start_offset_rows(
+            m_bh, a_bh, r_h, r_ph, cfg,
+            cfg.approx_recip and not interp, rows7,
+        )
+        yt0 = jnp.stack([ot, orr, ou, oph, yt0[4], opr, opu, yt0[7]])
 
     if cfg.use_pallas and jets is None:
         from blackhole_simulation_tpu.ops.pallas_march import pallas_march_u

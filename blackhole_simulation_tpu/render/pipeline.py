@@ -64,6 +64,14 @@ class Features:
     # marched image (render/overlay.py), the reference's u_shadowCurve
     # distance-to-polyline overlay (fragment.glsl.ts:279-325).
     shadow_overlay: bool = False
+    # NRS far-field march skip (the reference's surrogate roadmap,
+    # _legacy_src/training.rs + shaders/compute/mlp.wgsl): rays with
+    # impact parameter beyond the disk's reach take their escape direction
+    # from the trained MLP (models/nrs.nrs_far_field_rows) and die at
+    # birth instead of marching — a win for wide-fov scenes where whole
+    # tiles are far-field. Needs Scene.nrs_params (trained weights);
+    # staged path only (no MLP in the fused kernel).
+    nrs_far_field: bool = False
 
     def __post_init__(self):
         if self.jets and not self.disk:
@@ -72,7 +80,7 @@ class Features:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["bh", "camera", "spectral_coeffs"],
+    data_fields=["bh", "camera", "spectral_coeffs", "nrs_params"],
     meta_fields=["disk", "jet_params", "stars", "features", "march_cfg", "post"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -93,6 +101,9 @@ class Scene:
     march_cfg: MarchConfig = MarchConfig()
     post: PostParams = PostParams()
     spectral_coeffs: tuple | None = None
+    # Trained NRS weights (models/nrs.train_nrs params pytree) for the
+    # far-field skip; None disables Features.nrs_far_field.
+    nrs_params: tuple | None = None
 
     @classmethod
     def create(cls, mass=1.0, spin=0.9, camera=None, **kw):
@@ -305,7 +316,10 @@ def render_sample(scene: Scene, jitter, dtype=jnp.float32) -> jnp.ndarray:
         )
     use_pallas = cfg.use_pallas and jets is None
     h, w = scene.camera.height, scene.camera.width
-    if cfg.use_pallas and cfg.fused:
+    nrs_requested = (
+        scene.features.nrs_far_field and scene.nrs_params is not None
+    )
+    if cfg.use_pallas and cfg.fused and not nrs_requested:
         # Fully-fused megakernel: the whole sample in one Pallas program
         # (ops/pallas_render.py), INCLUDING per-step jet accumulation in
         # its march loop. The scene must carry cfg with any precull
@@ -332,12 +346,38 @@ def render_sample(scene: Scene, jitter, dtype=jnp.float32) -> jnp.ndarray:
         ids = None
     rays_u = camera_rays_u(scene.camera, bh, pix_ids=ids, jitter=jitter,
                            dtype=dtype)
-    rows = march_rows(rays_u, bh, cfg, jets=jets)
+    nrs_on = (
+        scene.features.nrs_far_field
+        and scene.nrs_params is not None
+        and jets is None
+    )
+    thr = None
+    if nrs_on:
+        from blackhole_simulation_tpu.models.nrs import nrs_far_field_rows
+        from blackhole_simulation_tpu.render.march import precull_threshold
+
+        # Far = beyond any visible disk crossing (min radius ~ b - M), so
+        # the skip is lossless for the disk; the surrogate supplies the
+        # background direction.
+        b_min = max(
+            12.0,
+            scene.disk.outer_radius * 1.2 if scene.features.disk else 12.0,
+        )
+        far, far_dirs = nrs_far_field_rows(
+            scene.nrs_params, rays_u, bh, b_min=b_min
+        )
+        thr = jnp.where(
+            far, jnp.asarray(1e9, dtype), precull_threshold(rays_u, bh, cfg)
+        )
+    rows = march_rows(rays_u, bh, cfg, jets=jets, thr=thr)
     # Conserved impact parameter lambda = L_z/E = -p_phi/p_t; camera_rays_u
     # normalizes p_t to -1, but compute it generally (2 cheap row ops) so
     # externally-built rays keep working.
     lam = -rays_u[7] / jnp.where(jnp.abs(rays_u[4]) < 1e-12, -1.0, rays_u[4])
     rgb = shade_march_rows(rows, bh, scene, dtype, lam)
+    if nrs_on and scene.features.starfield:
+        bg_far = starfield_rows(*far_dirs, params=scene.stars)
+        rgb = tuple(jnp.where(far, b_, c) for c, b_ in zip(rgb, bg_far))
     if use_pallas:
         rgb = tuple(from_block_order(c, h, w) for c in rgb)
     return jnp.stack(rgb, axis=-1)

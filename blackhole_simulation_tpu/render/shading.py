@@ -207,6 +207,12 @@ class DiskParams:
     turbulence: float = 0.6       # noise modulation amount
     inner_edge_softness: float = 0.35
     outer_falloff: float = 4.0    # radial emissivity falloff power
+    # Inverse-GRRT artistic mapping (compute.wgsl.ts:228-239): a target
+    # DISPLAY color is mapped back to the emitted j_nu via g^4 and
+    # re-transported forward — the disk renders at this fixed chromaticity
+    # while intensity carries the exact relativistic g^4 x T^4 transport
+    # (the reference's artistic-color device). None = physical blackbody.
+    artistic_rgb: tuple | None = None
 
 
 def nt_temperature_profile(r, r_in, dtype=jnp.float32):
@@ -276,8 +282,14 @@ def disk_emission_rows(
     g = jnp.clip(g, 0.05, 5.0)  # LUT g-range guard (spectrum.rs:76-102)
 
     t_shape = nt_temperature_profile(jnp.maximum(r_c, r_in * (1 + 1e-4)), r_in, dtype)
-    t_obs = jnp.clip(g * t_shape * disk.t_peak, 1000.0, 40000.0)
-    color = tuple(c.astype(dtype) for c in blackbody_ramp_rows(t_obs))
+    if disk.artistic_rgb is not None:
+        # Inverse-GRRT mapping (see DiskParams.artistic_rgb): fixed target
+        # chromaticity; the g^4/T^4 transport below stays exact.
+        ones = jnp.ones_like(r_c)
+        color = tuple(jnp.asarray(c, dtype) * ones for c in disk.artistic_rgb)
+    else:
+        t_obs = jnp.clip(g * t_shape * disk.t_peak, 1000.0, 40000.0)
+        color = tuple(c.astype(dtype) for c in blackbody_ramp_rows(t_obs))
 
     # Keplerian-phase-rotated turbulence (chunks/disk.ts:42-61): rotate the
     # noise field by the local orbital phase so structure shears.

@@ -55,6 +55,8 @@ _SLOW = {
     "test_models.py": {
         "test_training_reduces_loss_and_predicts",
         "test_dataset_physical",
+        "test_far_field_directions_beat_straight_line",
+        "test_pipeline_far_field_skip",
     },
 }
 

@@ -59,3 +59,101 @@ class TestTelemetry:
         assert abs(t["frac_escape"] + t["frac_horizon"] - 1.0) < 1e-9
         assert t["h_drift_p99"] < 1e-2  # fp32 null-constraint canary
         assert len(t["steps_hist"]["counts"]) == 8
+
+
+class TestNRSFarField:
+    """NRS far-field march skip (render path wiring, VERDICT r3 missing #2)."""
+
+    def _trained(self):
+        from blackhole_simulation_tpu.models.nrs import (
+            generate_training_data,
+            train_nrs,
+        )
+
+        x, y = generate_training_data(n=384, seed=1)
+        params, losses = train_nrs(x, y, n_steps=2500, lr=5e-3)
+        assert losses[-1] < 0.01
+        return params
+
+    def test_far_field_directions_beat_straight_line(self):
+        import dataclasses as dc
+
+        import jax.numpy as jnp
+        import numpy as np
+
+        from blackhole_simulation_tpu.geometry.metrics import KS, Kerr
+        from blackhole_simulation_tpu.models.nrs import nrs_far_field_rows
+        from blackhole_simulation_tpu.render import Camera, MarchConfig
+        from blackhole_simulation_tpu.render.camera import camera_rays_u
+        from blackhole_simulation_tpu.render.march import HIT_ESCAPE, march_rows
+        from blackhole_simulation_tpu.render.shading import (
+            escape_direction_u_rows,
+        )
+
+        params = self._trained()
+        bh = Kerr(mass=jnp.float32(1.0), spin=jnp.float32(0.6), chart=KS)
+        cam = Camera.create(r=60.0, theta=jnp.pi / 2 - 0.2, fov=1.0,
+                            width=48, height=32)
+        rays = camera_rays_u(cam, bh, dtype=jnp.float32)
+        far, dirs = nrs_far_field_rows(params, rays, bh, b_min=12.0)
+        rows = march_rows(rays, bh, MarchConfig(
+            max_steps=512, escape_radius=300.0, far_step_cap_rate=0.4))
+        esc = np.asarray(rows.hit) == HIT_ESCAPE
+        m = [np.asarray(v) for v in escape_direction_u_rows(
+            tuple(rows.state_u[i] for i in range(8)), bh)]
+        s = [np.asarray(v) for v in escape_direction_u_rows(
+            tuple(rays[i] for i in range(8)), bh)]
+        mask = np.asarray(far) & esc
+        ang = lambda a: np.degrees(np.arccos(np.clip(
+            a[0] * m[0] + a[1] * m[1] + a[2] * m[2], -1, 1)))[mask]
+        err_nrs = np.median(ang([np.asarray(v) for v in dirs]))
+        err_straight = np.median(ang(s))
+        assert err_nrs < 2.0, err_nrs            # degrees
+        assert err_nrs < 0.25 * err_straight, (err_nrs, err_straight)
+
+    def test_pipeline_far_field_skip(self):
+        import dataclasses as dc
+
+        import jax.numpy as jnp
+        import numpy as np
+
+        from blackhole_simulation_tpu.render import (
+            Camera,
+            MarchConfig,
+            Scene,
+            render_radiance,
+        )
+        from blackhole_simulation_tpu.render.pipeline import Features
+
+        params = self._trained()
+        cam = Camera.create(r=60.0, theta=jnp.pi / 2 - 0.2, fov=1.0,
+                            width=48, height=32)
+        base = Scene.create(
+            mass=1.0, spin=0.6, camera=cam,
+            march_cfg=MarchConfig(max_steps=128, escape_radius=300.0,
+                                  far_step_cap_rate=0.4),
+        )
+        on = dc.replace(
+            base,
+            features=Features(nrs_far_field=True),
+            nrs_params=params,
+        )
+        img_off = np.asarray(render_radiance(base))
+        img_on = np.asarray(render_radiance(on))
+        assert np.isfinite(img_on).all()
+        d = np.abs(img_on - img_off)
+        # NEAR-field pixels (the marched set) must be untouched; far pixels
+        # shift by the surrogate's ~0.5 deg direction error (smooth nebula
+        # ~1e-3 radiance, star deltas occasionally larger).
+        from blackhole_simulation_tpu.geometry.metrics import KS, Kerr
+        from blackhole_simulation_tpu.models.nrs import nrs_far_field_rows
+        from blackhole_simulation_tpu.render.camera import camera_rays_u
+
+        bh32 = Kerr(mass=jnp.float32(1.0), spin=jnp.float32(0.6), chart=KS)
+        rays = camera_rays_u(cam, bh32, dtype=jnp.float32)
+        b_min = max(12.0, base.disk.outer_radius * 1.2)
+        far, _ = nrs_far_field_rows(params, rays, bh32, b_min=b_min)
+        far_img = np.asarray(far).reshape(32, 48)
+        near_d = d.max(axis=2)[~far_img]
+        assert near_d.max() < 1e-5, near_d.max()
+        assert (d < 0.2).mean() > 0.9
