@@ -85,7 +85,7 @@ def make_composite(cfg, approx_recip, k_slots):
         pr_in = jnp.where(active, pr, F(0.0))
         pu_in = jnp.where(active, pu, F(0.0))
 
-        nt, nr, nu, nph, npr, npu, r_c, phi_c, t_c = diff_step_values(
+        nt, nr, nu, nph, npr, npu, r_c, phi_c, t_c, _dl = diff_step_values(
             m, a, r_h, r_ph, cfg, approx_recip,
             (t_in, r_in, u_in, ph_in, pr_in, pu_in, pph),
         )
