@@ -164,6 +164,9 @@ def main() -> None:
 
         from blackhole_simulation_tpu.render import render_radiance
 
+        # Timing-only: the spin variants reuse the flagship's spectral
+        # coefficients (identical compute; the production FD driver
+        # optimizes on the analytic shading path, parallel/train.py).
         spins = [0.95, 0.95 + 0.008, 0.95 - 0.008] + [0.95] * 6
         fd_scenes = [
             dc.replace(scene, bh=dc.replace(scene.bh, spin=jnp.float32(s)))
