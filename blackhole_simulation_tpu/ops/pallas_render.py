@@ -219,12 +219,19 @@ def _render_kernel(params_ref, r_ref, g_ref, b_ref, *, cfg, features, disk,
 
     # --- march (shared VMEM tile loop) ---
     rows0 = (zero_t, r_row, u_row, ph_row, pr, pu, pph)
-    t, r, u, ph, pr_f, pu_f, hit, steps, cr, cp, ct, nc, rmin, jet = (
-        march_tile(
-            m, a, r_h, r_ph, thr, rows0, cfg, approx_recip,
-            jets=jet_params if features.jets else None,
+    if cfg.multistep and not features.jets:
+        from blackhole_simulation_tpu.ops.pallas_march import march_tile_ab3
+
+        t, r, u, ph, pr_f, pu_f, hit, steps, cr, cp, ct, nc, rmin, jet = (
+            march_tile_ab3(m, a, r_h, r_ph, thr, rows0, cfg, approx_recip)
         )
-    )
+    else:
+        t, r, u, ph, pr_f, pu_f, hit, steps, cr, cp, ct, nc, rmin, jet = (
+            march_tile(
+                m, a, r_h, r_ph, thr, rows0, cfg, approx_recip,
+                jets=jet_params if features.jets else None,
+            )
+        )
 
     # --- composite (shade_march_rows twin) ---
     from blackhole_simulation_tpu.render.march import HIT_ESCAPE

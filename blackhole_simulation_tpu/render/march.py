@@ -121,6 +121,12 @@ class MarchConfig:
     # intermediate HBM traffic. Requires use_pallas; render_sample falls
     # back to the staged path when jets (per-step accumulation) are on.
     fused: bool = False
+    # EXPERIMENTAL: variable-step Adams-Bashforth-3 march in the Pallas
+    # kernels (ops/pallas_march.march_tile_ab3) — ONE RHS evaluation per
+    # step instead of the midpoint's two, 3rd-order accurate, certified by
+    # its own oracle ladder (tests/test_ab3.py). Kernel paths only (no
+    # jets, no AD); the jnp path ignores it.
+    multistep: bool = False
     # Blue-noise-decorrelated march start (fragment.glsl.ts:104-109):
     # advance each ray by a hashed fraction (0..start_jitter) of its first
     # adaptive step before marching, breaking the correlated stepping
