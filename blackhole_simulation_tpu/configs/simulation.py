@@ -173,6 +173,12 @@ def scene_from_params(params: SimulationParams, width: int = 512, height: int = 
         r=p.camera_distance, theta=p.inclination, fov=p.fov, width=w, height=h
     )
     steps = QUALITY_RAY_STEPS[p.quality] or 32
+    # On real TPU hardware every CLI render takes the fused-megakernel
+    # production path (the variant cache keys on the static config exactly
+    # like the reference's shader-variant cache).
+    import jax
+
+    on_tpu = jax.default_backend() == "tpu"
     return Scene.create(
         mass=p.mass,
         spin=p.spin,
@@ -191,6 +197,16 @@ def scene_from_params(params: SimulationParams, width: int = 512, height: int = 
             starfield=p.enable_starfield,
             photon_ring_glow=p.enable_photon_ring,
         ),
-        march_cfg=MarchConfig(max_steps=min(steps, MAX_RAY_STEPS)),
+        march_cfg=MarchConfig(
+            max_steps=min(steps, MAX_RAY_STEPS),
+            use_pallas=on_tpu,
+            fused=on_tpu,
+            shadow_precull=True,
+            step_rate=0.2,
+            far_step_cap_rate=0.4,
+            far_boost_radius=20.0,
+            approx_recip=on_tpu,
+            midpoint_iters=1,
+        ),
         post=PostParams(exposure=p.exposure, bloom_enabled=p.enable_bloom),
     )
