@@ -110,7 +110,7 @@ def _ansi_frame(img: np.ndarray) -> str:
 
 def run_live(width=1280, height=720, mass=1.0, spin=0.9, frames=0,
              script=None, out_dir=None, term_cols=120, quality="high",
-             use_pallas=None):
+             use_pallas=None, calibrate=True):
     """Run the live session; returns a stats dict (fps, frames, scales)."""
     import jax
     import jax.numpy as jnp
@@ -131,18 +131,21 @@ def run_live(width=1280, height=720, mass=1.0, spin=0.9, frames=0,
     on_tpu = jax.default_backend() == "tpu"
     if use_pallas is None:
         use_pallas = on_tpu
-    steps = QUALITY_RAY_STEPS.get(quality, 128) or 128
-    cfg = MarchConfig(
-        max_steps=steps,
-        use_pallas=use_pallas,
-        fused=use_pallas,
-        shadow_precull=True,
-        step_rate=0.2,
-        far_step_cap_rate=0.4,
-        far_boost_radius=20.0,
-        approx_recip=use_pallas,
-        midpoint_iters=1,
-    )
+
+    def cfg_for(q: str) -> MarchConfig:
+        return MarchConfig(
+            max_steps=QUALITY_RAY_STEPS.get(q, 128) or 128,
+            use_pallas=use_pallas,
+            fused=use_pallas,
+            shadow_precull=True,
+            step_rate=0.2,
+            far_step_cap_rate=0.4,
+            far_boost_radius=20.0,
+            approx_recip=use_pallas,
+            midpoint_iters=1,
+        )
+
+    cfg = cfg_for(quality)
 
     # Native C++ seqlock engine with heartbeat; pure-Python twin fallback.
     try:
@@ -185,9 +188,28 @@ def run_live(width=1280, height=720, mass=1.0, spin=0.9, frames=0,
             progs[s] = jax.jit(run)
         return progs[s]
 
-    stats = {"frames": 0, "scales": [], "fps": []}
-    auto = True
+    # Startup calibration stress test (monitor.ts:79-86): ~3 s of frames at
+    # the requested quality; below 30 FPS the session demotes one tier (and
+    # rebuilds the march config — one extra warm jit entry), matching the
+    # reference's finalizeCalibration quality cap.
     spin_now = spin
+
+    def _stress():
+        fn = frame_fn(scale)
+        np.asarray(fn(jnp.float32(8.0), jnp.float32(1.3), jnp.float32(0.0),
+                      jnp.float32(spin_now)))
+
+    if calibrate:
+        _stress()  # compile outside the timed stress window
+        new_quality = monitor.calibrate(_stress, quality=quality)
+        if new_quality != quality:
+            quality = new_quality
+            cfg = cfg_for(quality)
+            progs.clear()
+
+    stats = {"frames": 0, "scales": [], "fps": [],
+             "quality": quality, "calibrated_fps": monitor.calibrated_fps}
+    auto = True
     last = time.monotonic()
     try:
         n = 0

@@ -95,6 +95,11 @@ class PIDController:
         return self.scale
 
 
+# Quality tiers, worst to best (simulation.config.ts quality ladder; the
+# calibration demotion walks one rung down this list).
+QUALITY_LADDER = ("low", "medium", "high", "ultra")
+
+
 class PerformanceMonitor:
     """Frame/device/host timing + rays/s meter + warnings ladder
     (monitor.ts:70-381). ``clock`` is injectable for deterministic tests."""
@@ -108,6 +113,42 @@ class PerformanceMonitor:
         self.rays_per_s = 0.0
         self._last_t = None
         self.warnings: list[str] = []
+        # Calibration results (monitor.ts:79-86): the startup stress test
+        # caps the quality the adaptive controller may ever promote back to.
+        self.max_allowed_quality: str = QUALITY_LADDER[-1]
+        self.calibrated_fps: float | None = None
+
+    def calibrate(self, render_frame, quality: str = "high",
+                  max_frames: int = 1000) -> str:
+        """Startup calibration stress test (monitor.ts:79-86, 148-151,
+        235-246): render frames for ``calibration.duration_s`` seconds of
+        the injected clock, then demote ``quality`` one tier if the average
+        FPS fell below ``calibration.demote_below_fps`` (the reference's
+        minStableFPS finalizeCalibration rule). The demoted tier also
+        becomes ``max_allowed_quality`` — the cap the adaptive controller
+        may never promote past (maxAllowedQuality). Returns the (possibly
+        demoted) quality; ``calibrated_fps`` records the measured average.
+
+        The stress frames go to a private ring so they don't pollute
+        steady-state statistics; ``max_frames`` bounds the loop when the
+        injected clock is driven by ``render_frame`` itself (tests).
+        """
+        cfg = PERFORMANCE_CONFIG["calibration"]
+        ring = FrameRingBuffer()
+        t_start = self._clock()
+        while (self._clock() - t_start < cfg["duration_s"]
+               and len(ring) < max_frames):
+            t0 = self._clock()
+            render_frame()
+            ring.push(max((self._clock() - t0) * 1e3, 1e-6))
+        avg_ms = ring.mean()
+        avg_fps = 1e3 / avg_ms if avg_ms > 0 else 0.0
+        self.calibrated_fps = avg_fps
+        if avg_fps < cfg["demote_below_fps"] and quality in QUALITY_LADDER:
+            i = QUALITY_LADDER.index(quality)
+            quality = QUALITY_LADDER[max(i - 1, 0)]
+        self.max_allowed_quality = quality
+        return quality
 
     def begin_frame(self) -> float:
         return self._clock()

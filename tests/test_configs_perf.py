@@ -123,6 +123,36 @@ class TestMonitor:
         assert any("30 FPS" in w for w in m["warnings"])
         np.testing.assert_allclose(m["rays_per_s"], 1000 / 0.040)
 
+    def test_calibrate_demotes_below_30fps(self):
+        # 20 FPS stress -> below minStableFPS=30 -> high demotes to medium
+        # and becomes the promotion cap (monitor.ts:235-246).
+        clk = FakeClock()
+        mon = PerformanceMonitor(clock=clk)
+        q = mon.calibrate(lambda: clk.advance(0.050), quality="high")
+        assert q == "medium"
+        assert mon.max_allowed_quality == "medium"
+        assert abs(mon.calibrated_fps - 20.0) < 1e-6
+
+    def test_calibrate_keeps_quality_when_fast(self):
+        clk = FakeClock()
+        mon = PerformanceMonitor(clock=clk)
+        q = mon.calibrate(lambda: clk.advance(0.010), quality="ultra")
+        assert q == "ultra"
+        assert mon.max_allowed_quality == "ultra"
+        assert abs(mon.calibrated_fps - 100.0) < 1e-6
+
+    def test_calibrate_runs_for_duration(self):
+        # 0.5 s per stress frame against the 3 s window -> exactly 6 frames
+        # of the injected clock (duration-bounded, not frame-bounded).
+        clk = FakeClock()
+        mon = PerformanceMonitor(clock=clk)
+        calls = []
+        mon.calibrate(lambda: (calls.append(1), clk.advance(0.5)),
+                      quality="low")
+        assert len(calls) == 6
+        # "low" has no lower tier: demotion saturates.
+        assert mon.max_allowed_quality == "low"
+
 
 class TestBenchmark:
     def _controller(self, fps_by_preset):
