@@ -62,8 +62,10 @@ class AnimationDriver:
         rig: CameraRig | None = None,
         clock: Callable[[], float] = time.monotonic,
         adaptive: bool = True,
+        fov: float = 0.5,
     ):
         self.render_fn = render_fn
+        self.fov = fov  # for history reprojection (accumulate.reproject_uv)
         self.director = DIRECTORS[director] if director else None
         self.rig = rig or CameraRig()
         self.clock = clock
@@ -116,7 +118,12 @@ class AnimationDriver:
 
         t0 = self.monitor.begin_frame()
         frame = np.asarray(self.render_fn(cam, scale))
-        frame = np.asarray(self.accumulator.resolve(frame, moving=camera_moving))
+        # Moving frames REPROJECT the history through the camera delta
+        # (accumulate.taa_resolve_reprojected) instead of resetting it.
+        frame = np.asarray(self.accumulator.resolve(
+            frame, moving=camera_moving,
+            camera=(cam[0], cam[1], cam[2], self.fov, 0.0),
+        ))
         self.monitor.end_frame(t0, n_rays=int(frame.shape[0] * frame.shape[1]))
         self.last_frame = frame
         self.frame_index += 1

@@ -110,7 +110,7 @@ def _ansi_frame(img: np.ndarray) -> str:
 
 def run_live(width=1280, height=720, mass=1.0, spin=0.9, frames=0,
              script=None, out_dir=None, term_cols=120, quality="high",
-             use_pallas=None, calibrate=True):
+             use_pallas=None, calibrate=True, taa=True):
     """Run the live session; returns a stats dict (fps, frames, scales)."""
     import jax
     import jax.numpy as jnp
@@ -170,23 +170,56 @@ def run_live(width=1280, height=720, mass=1.0, spin=0.9, frames=0,
     # downsample to terminal size -> uint8 (fetch ~40 KB, not the frame).
     progs = {}
 
+    # Motion-reprojected temporal accumulation (accumulate.py, the ATAA
+    # warp): history lives ON DEVICE and threads through the jitted frame
+    # program; the orbit no longer resets it. hist_state: (history, prev_cam,
+    # have_history) per ladder rung.
+    hist_state = {}
+
     def frame_fn(s):
         w = int(width * s) // 128 * 128 or 128
         h = int(height * s) // 32 * 32 or 32
         if s not in progs:
-            def run(r, theta, phi, spin_now):
+            def run(r, theta, phi, spin_now, hist, prev_cam, have_hist):
                 cam = Camera.create(r=r, theta=theta, phi=phi, fov=0.5,
                                     width=w, height=h)
                 scene = Scene.create(mass=mass, spin=spin_now, camera=cam,
                                      march_cfg=cfg)
                 img = render(scene, n_samples=1)
-                small = jax.image.resize(
-                    img, (term_rows, term_cols, 3), method="linear"
+                cam_now = jnp.stack(
+                    [r, theta, phi, jnp.float32(0.5), jnp.float32(0.0)]
                 )
-                return jnp.clip(small * 255.0, 0, 255).astype(jnp.uint8)
+                if taa:
+                    from blackhole_simulation_tpu.render.accumulate import (
+                        taa_resolve_reprojected,
+                    )
+
+                    resolved = taa_resolve_reprojected(
+                        hist, img, prev_cam, cam_now, 0.8, 1.5
+                    )
+                    resolved = jnp.where(have_hist, resolved, img)
+                else:
+                    resolved = img
+                small = jax.image.resize(
+                    resolved, (term_rows, term_cols, 3), method="linear"
+                )
+                disp = jnp.clip(small * 255.0, 0, 255).astype(jnp.uint8)
+                return disp, resolved, cam_now
 
             progs[s] = jax.jit(run)
-        return progs[s]
+
+        def call(r, theta, phi, spin_now):
+            st = hist_state.get(s)
+            if st is None:
+                zero = jnp.zeros((h, w, 3), jnp.float32)
+                st = (zero, jnp.zeros((5,), jnp.float32),
+                      jnp.asarray(False))
+            disp, hist, cam_now = progs[s](r, theta, phi, spin_now, *st[:2],
+                                           st[2])
+            hist_state[s] = (hist, cam_now, jnp.asarray(True))
+            return disp
+
+        return call
 
     # Startup calibration stress test (monitor.ts:79-86): ~3 s of frames at
     # the requested quality; below 30 FPS the session demotes one tier (and
@@ -206,6 +239,7 @@ def run_live(width=1280, height=720, mass=1.0, spin=0.9, frames=0,
             quality = new_quality
             cfg = cfg_for(quality)
             progs.clear()
+            hist_state.clear()
 
     stats = {"frames": 0, "scales": [], "fps": [],
              "quality": quality, "calibrated_fps": monitor.calibrated_fps}
