@@ -133,6 +133,47 @@ class MarchConfig:
     # bands of neighboring rays into broadband noise. 0 = off. Not applied
     # on the AD path (deterministic gradients).
     start_jitter: float = 0.0
+    # Critical-band refinement pass (VERDICT r4 item 1, the principled form
+    # of fragment.glsl.ts:141-159's photon-sphere proximity clamp): after
+    # the main render, rays whose conserved (lambda, eta) lie within
+    # ``refine_band`` (M^2 units, precull.band_metric_values) of the Bardeen
+    # critical curve — the step-size-sensitive capture/escape boundary —
+    # are RE-MARCHED as one compacted batch (the reference's tile-queue
+    # compaction idea, _legacy_src/tiling.rs, applied to rays) at
+    # ``refine_step_rate`` with a ``refine_max_steps`` budget, and their
+    # radiance overwrites the coarse pixels. Cost is ~(band fraction) x
+    # (rate ratio) of a frame; the band is <1% of pixels at 1080p. 0 = off.
+    refine_band: float = 0.0
+    # Static compaction budget: at most this many rays are refined per
+    # sample (selection is threshold-first; an overflowing band leaves the
+    # excess pixels at the coarse rate). Must be a multiple-friendly size
+    # for the Pallas tile (rounded up internally).
+    refine_budget: int = 16384
+    # Refinement marches at VALIDATION grade so band pixels classify exactly
+    # as the fine reference does (step_rate 0.03, tight far cap, exact
+    # divides — the convergence-ladder reference config).
+    refine_step_rate: float = 0.03
+    refine_max_steps: int = 4096
+    refine_max_step: float = 1.0
+
+
+def refinement_config(cfg: "MarchConfig") -> "MarchConfig":
+    """The march config of the critical-band refinement pass: the
+    validation-grade reference march (tests/test_oracle_gate.py ladder),
+    shared by pipeline.refine_critical_band and the band-agreement gate
+    (tools/band_agreement.py) so 'refined' and 'reference' are the same
+    program by construction."""
+    return dataclasses.replace(
+        cfg,
+        step_rate=cfg.refine_step_rate,
+        max_steps=cfg.refine_max_steps,
+        max_step=cfg.refine_max_step,
+        approx_recip=False,
+        refine_band=0.0,
+        fused=False,
+        multistep=False,
+        shadow_precull=False,
+    )
 
 
 # Flags describing how each ray ended (mirrors TerminationReason).

@@ -177,6 +177,52 @@ def capture_mask_u(m, a, yt_u: jnp.ndarray, margin: float = 0.04) -> jnp.ndarray
     )
 
 
+def band_metric_values(m, eta, eta_crit_raw, lam, lam_lo, lam_hi):
+    """Distance-to-critical-curve metric d (M^2 units, conserved space).
+
+    d = |eta - eta_c(lam)| / M^2 for in-range lam, plus a steep penalty for
+    the lam excess outside [lam_lo, lam_hi] (rays there are hyperbolic-like,
+    far from criticality in any direction). Shared expression between the
+    jnp band metric and the fused kernel's band plane (ops/pallas_render.py)
+    so both paths select the same refinement set. ``eta_crit_raw`` is the
+    UNSHIFTED Chebyshev curve (best estimate, not the conservative cull
+    form). Small d = chaotic capture/escape boundary = the pixels whose hit
+    classification is step-size sensitive (VERDICT r4 item 1).
+    """
+    m2 = m * m
+    d_eta = jnp.abs(eta - eta_crit_raw) / m2
+    excess = jnp.maximum(lam - lam_hi, lam_lo - lam)
+    d_lam = jnp.maximum(excess, 0.0) * (4.0 / m)
+    return d_eta + d_lam
+
+
+def critical_band_metric_u(m, a, yt_u: jnp.ndarray) -> jnp.ndarray:
+    """(N,) band metric d for (8, N) u-chart rows (see band_metric_values).
+
+    Same conserved-quantity and Chebyshev-curve expressions as
+    capture_mask_u; used by the staged render path to pick refinement rays
+    (the fused kernel computes the identical metric in-kernel from its SMEM
+    coefficients)."""
+    dtype = yt_u.dtype
+    m = jnp.asarray(m, dtype)
+    a_signed = jnp.asarray(a, dtype)
+    flip = jnp.where(a_signed < 0.0, -1.0, 1.0).astype(dtype)
+    a = jnp.clip(jnp.abs(a_signed), 1e-3 * m, 0.999 * m)
+    u = yt_u[2]
+    pt, pu, pph = yt_u[4], yt_u[6], yt_u[7]
+    e = -pt
+    inv_e = 1.0 / jnp.where(jnp.abs(e) < 1e-12, 1.0, e)
+    lam = flip * pph * inv_e
+    w = 1.0 - u * u
+    s2 = jnp.maximum(w, 1e-12)
+    c2 = u * u
+    q = pu * pu * w + c2 * (pph * pph / s2 - a_signed * a_signed * pt * pt)
+    eta = q * inv_e * inv_e
+    coeffs, c_mid, c_half, lam_lo, lam_hi = _eta_crit_cheb_coeffs(m, a)
+    eta_crit_raw = _cheb_eval(coeffs, c_mid, c_half, lam)
+    return band_metric_values(m, eta, eta_crit_raw, lam, lam_lo, lam_hi)
+
+
 def _capture_core(m, a, a_signed, flip, r0, s2, c2, pt, pr, pth2, pph,
                   lam, inv_e, margin):
     q = pth2 + c2 * (pph * pph / s2 - a_signed * a_signed * pt * pt)
