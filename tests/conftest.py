@@ -45,6 +45,8 @@ _SLOW = {
         "test_sharding_overhead_efficiency",  # wall-clock: flaky under load
         "test_fd_sharded_losses_match_unsharded",
         "test_sharded_pallas_path_runs",
+        "test_ad_inverse_recovers_spin_256",  # ~6 min: 256^2 AD curriculum
+        "test_ad_step_gradient_points_into_basin",
         "test_sharded_matches_single_device",
         "test_sharded_supersampling_matches_single_device",
         "test_host_chip_mesh_renders",

@@ -145,11 +145,12 @@ class TestInverseStep:
         """Recover the spin from a target image rendered at a different spin —
         BASELINE configs[3] in miniature, at the full 64x64 / ±0.02 bar.
 
-        Uses the default FD driver (train.py): reverse-mode AD through the
+        Uses the FD driver explicitly: RAW reverse-mode AD through the
         chaotic march returns garbage gradients on long horizons (measured
         d(loss)/d(spin) = -4.3e5, wrong sign, where the loss itself is a
-        smooth basin), so the robust central-difference step is the one that
-        actually solves configs[3]. Assertions are on the FINAL loss and the
+        smooth basin). The production default is now the AD curriculum
+        (test_ad_inverse_recovers_spin below); FD stays the fallback and
+        this test pins it. Assertions are on the FINAL loss and the
         recovered spin — not best-of-trajectory."""
         from blackhole_simulation_tpu.render import MarchConfig, render_radiance
         import dataclasses as dc
@@ -165,6 +166,7 @@ class TestInverseStep:
                 spin=0.55, theta_cam=float(scene_true.camera.theta)
             ),
             lr=0.04,
+            method="fd",
         )
         assert losses[-1] < losses[0] * 0.2
         assert abs(float(params.spin) - 0.85) < 0.02
@@ -218,3 +220,84 @@ class TestScalingEfficiency:
             t0 = time.perf_counter(); f8(); t8s.append(time.perf_counter() - t0)
         eff = min(t1s) / min(t8s)
         assert eff > 0.95, f"sharding overhead efficiency {eff:.3f} < 0.95"
+
+
+class TestADInverse:
+    """AD-driven inverse rendering (VERDICT r4 item 2): pixel gradients
+    through the march — the short-horizon pooled curriculum — are the
+    production method."""
+
+    def test_ad_step_gradient_points_into_basin(self):
+        """One curriculum-stage Adam step must move spin TOWARD the target
+        from both sides (the raw long-horizon AD step fails this with a
+        wrong-sign gradient — see the chaos rationale in train.py)."""
+        from blackhole_simulation_tpu.parallel.train import (
+            make_ad_inverse_step,
+        )
+        from blackhole_simulation_tpu.render import MarchConfig, render_radiance
+        import dataclasses as dc
+
+        scene = small_scene(width=48, height=48, spin=0.85)
+        scene = dc.replace(
+            scene,
+            march_cfg=MarchConfig(max_steps=96, step_rate=0.12,
+                                  midpoint_iters=1, remat_every=32),
+        )
+        target = render_radiance(scene)
+        step = make_ad_inverse_step(scene, pool=8, march_steps=48, lr=2e-2)
+        for a0 in (0.7, 0.95):
+            p0 = InverseParams.init(
+                spin=a0, theta_cam=float(scene.camera.theta)
+            )
+            (p1, _), _ = step(p0, target)
+            moved = float(p1.spin) - a0
+            assert np.sign(moved) == np.sign(0.85 - a0), (a0, float(p1.spin))
+
+    def test_ad_sharded_step_matches_unsharded(self):
+        from blackhole_simulation_tpu.parallel.train import (
+            make_ad_inverse_step,
+        )
+        from blackhole_simulation_tpu.render import MarchConfig, render_radiance
+        import dataclasses as dc
+
+        scene = small_scene(width=32, height=32, spin=0.8)
+        scene = dc.replace(
+            scene, march_cfg=MarchConfig(max_steps=48, midpoint_iters=1)
+        )
+        target = jnp.zeros((32, 32, 3), jnp.float32)
+        p0 = InverseParams.init(spin=0.5)
+        step1 = make_ad_inverse_step(scene, None, pool=4, march_steps=48)
+        step8 = make_ad_inverse_step(scene, make_mesh(8), pool=4,
+                                     march_steps=48)
+        (p1, _), l1 = step1(p0, target)
+        (p8, _), l8 = step8(p0, target)
+        np.testing.assert_allclose(float(l1), float(l8), rtol=1e-4)
+        np.testing.assert_allclose(float(p1.spin), float(p8.spin), atol=5e-5)
+
+    def test_ad_inverse_recovers_spin_256(self):
+        """VERDICT r4 item 2 'done' criterion: inverse_render(method='ad')
+        recovers spin to |da| < 1e-2 from a rendered target at 256^2 —
+        pixel gradients only, no finite differences anywhere."""
+        from blackhole_simulation_tpu.render import MarchConfig, render_radiance
+        import dataclasses as dc
+
+        cam = Camera.create(r=30.0, theta=jnp.pi / 2 - 0.25, fov=0.5,
+                            width=256, height=256)
+        scene = Scene.create(
+            mass=1.0, spin=0.85, camera=cam,
+            march_cfg=MarchConfig(max_steps=256, step_rate=0.12,
+                                  far_step_cap_rate=0.4,
+                                  far_boost_radius=20.0, midpoint_iters=1,
+                                  remat_every=32),
+        )
+        target = render_radiance(scene)
+        # two curriculum stages keep the (CPU) runtime in slow-tier bounds;
+        # the third stage only polishes below the 1e-2 bar
+        params, losses = inverse_render(
+            scene, target, n_steps=36, method="ad",
+            ad_stages=((64, 8), (96, 4)),
+            init=InverseParams.init(spin=0.5,
+                                    theta_cam=float(cam.theta)),
+        )
+        assert losses[-1] < losses[0] * 0.1
+        assert abs(float(params.spin) - 0.85) < 1e-2, float(params.spin)
