@@ -62,6 +62,8 @@ def main() -> None:
     ap.add_argument("--frames", type=int, default=30)
     ap.add_argument("--no-grad", action="store_true", help="skip the backward bench")
     ap.add_argument("--no-gate", action="store_true", help="skip the oracle gate")
+    ap.add_argument("--no-extras", action="store_true",
+                    help="skip roofline / refined-config / band gates")
     args = ap.parse_args()
 
     import jax
@@ -151,6 +153,83 @@ def main() -> None:
         f"{per_frame * 1e3:.1f} ms/frame",
         file=sys.stderr,
     )
+
+    # --- roofline / VPU utilization (VERDICT r4 item 3) -------------------
+    mfu = None
+    if not args.no_extras and not args.ci:
+        try:
+            sys.path.insert(0, os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "tools"))
+            import dataclasses as dc
+
+            import numpy as np
+            import roofline
+
+            from blackhole_simulation_tpu.geometry.metrics import KS, Kerr
+            from blackhole_simulation_tpu.render.camera import camera_rays_u
+            from blackhole_simulation_tpu.render.march import march_rows
+
+            bh_m = Kerr(mass=jnp.float32(1.0), spin=jnp.float32(0.999),
+                        chart=KS)
+            staged = dc.replace(march_cfg, fused=False)
+
+            @jax.jit
+            def steps_of():
+                rays = camera_rays_u(cam, bh_m)
+                return march_rows(rays, bh_m, staged).steps
+
+            steps = np.asarray(steps_of())
+            mfu = roofline.mfu_report(width, height, steps, per_frame,
+                                      cfg=march_cfg)
+            print(f"bench: roofline {mfu}", file=sys.stderr)
+        except Exception as e:
+            print(f"bench: roofline failed: {str(e)[:160]!r}", file=sys.stderr)
+
+    # --- certified (critical-band refined) config (VERDICT r4 item 1) ----
+    refined_mrays = None
+    gate_band = None
+    if not args.no_extras and not args.ci:
+        try:
+            import dataclasses as dc
+
+            refined_cfg = dc.replace(march_cfg, refine_band=0.6,
+                                     refine_budget=16384)
+            refined_scene = Scene.create(
+                mass=1.0, spin=0.999, camera=cam, march_cfg=refined_cfg,
+                features=features,
+            )
+
+            def rframe():
+                return jnp.sum(render(refined_scene, n_samples=1))
+
+            float(reduce_batch([rframe() for _ in range(args.frames)]))
+            t0 = time.perf_counter()
+            float(reduce_batch([rframe() for _ in range(args.frames)]))
+            r_per = (time.perf_counter() - t0) / args.frames
+            refined_mrays = width * height / r_per / 1e6
+            print(
+                f"bench: refined (band<0.6 reference-grade re-march) "
+                f"{r_per*1e3:.1f} ms/frame -> {refined_mrays:.1f} Mrays/s",
+                file=sys.stderr,
+            )
+        except Exception as e:
+            print(f"bench: refined bench failed: {str(e)[:160]!r}",
+                  file=sys.stderr)
+        try:
+            import band_agreement
+
+            gate_band = band_agreement.measure(
+                width=width, height=height, spin=0.999, band_width=0.6,
+                budget=16384, refine_rate=march_cfg.refine_step_rate,
+                refine_steps=march_cfg.refine_max_steps,
+            )
+            gate_band["pass"] = bool(
+                gate_band["agree_band_refined"] >= 0.99
+            )
+            print(f"bench: gate_band {gate_band}", file=sys.stderr)
+        except Exception as e:
+            print(f"bench: gate_band failed: {str(e)[:160]!r}",
+                  file=sys.stderr)
 
     # Training step, production form (BASELINE configs[3]): the FD inverse
     # step = 9 forward renders (center + central differences on 4 scene
@@ -309,6 +388,76 @@ def main() -> None:
             print(f"bench: gate_full failed: {str(e)[:200]!r}", file=sys.stderr)
             gate_full = {"pass": False, "error": str(e)[:120]}
 
+    # Subsampled oracle gate AT THE SHIPPED 1080p CONFIG (VERDICT r4 item
+    # 7): ~4096 stratified pixels of the flagship frame vs the f64 RKF45
+    # CPU oracle — gates the exact production resolution/spin/MarchConfig
+    # instead of relying on the 256^2 transitive gate.
+    gate_1080p = None
+    if not args.no_gate and not args.ci and not args.no_extras:
+        try:
+            import dataclasses as dc
+
+            import numpy as np
+
+            from blackhole_simulation_tpu.geodesic.oracle import oracle_march
+            from blackhole_simulation_tpu.geometry.metrics import KS, Kerr
+            from blackhole_simulation_tpu.render import render_radiance
+            from blackhole_simulation_tpu.render.camera import (
+                camera_rays_indexed,
+            )
+            from blackhole_simulation_tpu.render.pipeline import shade_sample
+            from blackhole_simulation_tpu.render.shading import (
+                StarfieldParams,
+            )
+
+            n_sub = 4096
+            t0 = time.perf_counter()
+            g_scene = Scene.create(
+                mass=1.0, spin=0.999, camera=cam,
+                stars=StarfieldParams(density=0.0),
+                march_cfg=dc.replace(march_cfg, refine_band=0.6,
+                                     refine_budget=16384),
+            )  # analytic shading for BOTH paths: the oracle comparison
+            # must not conflate march error with the spectral Chebyshev
+            # fit tolerance (~3%) — same discipline as gate_full.
+            img = np.asarray(render_radiance(g_scene)).reshape(-1, 3)
+            # stratified pixel sample: one jittered pick per stratum
+            rng = np.random.default_rng(0)
+            stride = (width * height) // n_sub
+            pix = (np.arange(n_sub) * stride
+                   + rng.integers(0, stride, n_sub)).astype(np.int32)
+            cpu = jax.local_devices(backend="cpu")[0]
+            with jax.default_device(cpu), jax.enable_x64(True):
+                bh64 = Kerr(mass=jnp.float64(1.0), spin=jnp.float64(0.999),
+                            chart=KS)
+                rays = camera_rays_indexed(cam, bh64, jnp.asarray(pix),
+                                           dtype=jnp.float64)
+                res = oracle_march(rays, bh64, g_scene.march_cfg)
+                orc = np.asarray(shade_sample(
+                    res, bh64, g_scene, jnp.float64, rays
+                )).astype(np.float32)
+            sub = img[pix]
+            d = np.abs(sub - orc).max(axis=1)
+            scale = float(np.abs(orc).mean()) + 1e-8
+            frac_ok = float(
+                (d < 1e-2 * (1.0 + np.abs(orc).max(axis=1))).mean()
+            )
+            trimmed = np.sort(d)[: int(d.size * 0.975)]
+            trimmed_rel = float(trimmed.mean() / scale)
+            gate_1080p = {
+                "n_pixels": n_sub,
+                "config": "flagship 1920x1080 a=0.999 refined band<0.6",
+                "frac_ok": round(frac_ok, 4),
+                "trimmed_rel": round(trimmed_rel, 5),
+                "pass": bool(frac_ok > 0.98 and trimmed_rel < 1e-2),
+                "seconds": round(time.perf_counter() - t0, 1),
+            }
+            print(f"bench: gate_1080p {gate_1080p}", file=sys.stderr)
+        except Exception as e:
+            print(f"bench: gate_1080p failed: {str(e)[:200]!r}",
+                  file=sys.stderr)
+            gate_1080p = {"pass": False, "error": str(e)[:120]}
+
     out = {
         "metric": "Mrays/s/chip 1080p Kerr a=0.999 full render (spectral)",
         "value": round(mrays, 3),
@@ -321,8 +470,17 @@ def main() -> None:
     if grad_mrays is not None:
         out["backward_mrays"] = round(grad_mrays, 3)
         out["backward_res"] = f"{g_w}x{g_h}"
+    if mfu is not None:
+        out["mfu"] = mfu["vpu_util"]
+        out["roofline"] = mfu
+    if refined_mrays is not None:
+        out["refined_mrays"] = round(refined_mrays, 3)
+    if gate_band is not None:
+        out["gate_band"] = gate_band
     if gate_full is not None:
         out["gate_full"] = gate_full
+    if gate_1080p is not None:
+        out["gate_1080p"] = gate_1080p
     print(json.dumps(out))
 
 

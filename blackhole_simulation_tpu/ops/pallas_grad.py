@@ -60,7 +60,12 @@ from blackhole_simulation_tpu.ops.pallas_march import (
     diff_step_values,
 )
 
-CKPT = 32  # steps per checkpoint block
+import os as _os
+
+# Steps per checkpoint block. The replay stack holds CKPT carries in VMEM;
+# smaller CKPT = more replay passes, larger = more VMEM + longer transpose
+# chains. BH_PALLAS_CKPT is the sweep override (tools/sweep_grad.py).
+CKPT = int(_os.environ.get("BH_PALLAS_CKPT", "32"))
 
 
 def make_composite(cfg, approx_recip, k_slots):

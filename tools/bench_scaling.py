@@ -34,14 +34,81 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _best_time(fn, repeats=5):
-    fn()  # compile
+def _stats(fn, repeats=12):
+    """(median, iqr) over ``repeats`` timed calls after 2 warm calls.
+
+    Medians + IQR error bars (VERDICT r4 item 5): a single best-of-5 on a
+    shared CPU host produced unphysical efficiencies (1.97 on fixed work);
+    the median is robust to scheduler noise and the IQR quantifies what
+    remains so the gate can REJECT noise-dominated points instead of
+    reporting them as wins.
+    """
+    fn()
+    fn()
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         fn()
         times.append(time.perf_counter() - t0)
-    return min(times)
+    times.sort()
+    n = len(times)
+    med = times[n // 2]
+    iqr = times[(3 * n) // 4] - times[n // 4]
+    return med, iqr
+
+
+def _two_process_multihost_check():
+    """Exercise initialize_multihost via jax.distributed with TWO local CPU
+    processes (VERDICT r4 item 5: the DCN init path had never executed).
+    Each process brings up the distributed runtime, builds the global CPU
+    device view, and all-reduces a process-tagged scalar over DCN; the
+    parent asserts the psum saw both processes. Returns a result dict."""
+    import subprocess
+    import sys as _sys
+
+    worker = r"""
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+from blackhole_simulation_tpu.parallel import initialize_multihost
+pid = int(sys.argv[1])
+initialize_multihost("127.0.0.1:17923", num_processes=2, process_id=pid)
+import jax.numpy as jnp
+assert jax.process_count() == 2, jax.process_count()
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+devs = jax.devices()  # global view across both processes
+mesh = Mesh(devs, ("d",))
+def body():
+    return jax.lax.psum(jnp.float32(2.0 ** jax.process_index()), "d")
+out = shard_map(lambda: body(), mesh=mesh, in_specs=(), out_specs=P(),
+                check_vma=False)()
+# each process owns 1 local device: psum(2^0 + 2^1) = 3
+val = float(out.addressable_data(0).reshape(-1)[0])
+print(f"proc {pid}: psum={val} procs={jax.process_count()}", flush=True)
+assert val == 3.0, val
+"""
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=1")
+    procs = [
+        subprocess.Popen([_sys.executable, "-c", worker, str(pid)],
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                         env=env, cwd=os.path.dirname(os.path.dirname(
+                             os.path.abspath(__file__))))
+        for pid in (0, 1)
+    ]
+    outs = []
+    ok = True
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=180)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out = b"TIMEOUT"
+        outs.append(out.decode(errors="replace")[-500:])
+        ok = ok and p.returncode == 0
+    return {"ok": ok, "psum_expected": 3.0,
+            "log": [o.strip().splitlines()[-1] if o.strip() else "" for o in outs]}
 
 
 def main():
@@ -50,7 +117,8 @@ def main():
     ap.add_argument("--width", type=int, default=192)
     ap.add_argument("--height", type=int, default=108)
     ap.add_argument("--steps", type=int, default=128)
-    ap.add_argument("--repeats", type=int, default=5)
+    ap.add_argument("--repeats", type=int, default=12)
+    ap.add_argument("--no-multihost", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -90,7 +158,7 @@ def main():
             img = render_sharded(scene, mesh)
             return float(jnp.sum(img))
 
-        render_times[n] = _best_time(frame, args.repeats)
+        render_times[n] = _stats(frame, args.repeats)
 
         step = make_inverse_step(scene, mesh if n > 1 else None)
         params = InverseParams.init(theta_cam=float(cam.theta))
@@ -100,36 +168,55 @@ def main():
             (_, _), loss = step(params, target)
             return float(loss)
 
-        inverse_times[n] = _best_time(inv_step, args.repeats)
+        inverse_times[n] = _stats(inv_step, args.repeats)
 
-    t1r = render_times[sizes[0]]
-    t1i = inverse_times[sizes[0]]
+    def table(times):
+        t1, i1 = times[sizes[0]]
+        out = {}
+        for n in sizes:
+            tn, iqr = times[n]
+            eff = t1 / tn
+            # combined relative noise of the ratio (IQR-based)
+            rel = (iqr / tn) + (i1 / t1)
+            if rel > 0.10:
+                verdict = "inconclusive (noise)"
+            elif 0.95 <= eff <= 1.05:
+                verdict = "pass"
+            else:
+                # on fixed work, efficiency outside [0.95, 1.05] with tight
+                # bars is either real sharding overhead (<0.95) or a
+                # measurement failure (>1.05) — never a win
+                verdict = "overhead" if eff < 0.95 else "REJECT (>1: unphysical)"
+            out[str(n)] = {
+                "median_s": round(tn, 4),
+                "iqr_s": round(iqr, 4),
+                "overhead_efficiency": round(eff, 4),
+                "rel_noise": round(rel, 4),
+                "verdict": verdict,
+            }
+        return out
+
     report = {
         "platform": platform,
         "device_kind": str(jax.devices()[0].device_kind),
         "n_devices": n_devices,
         "frame": f"{w}x{h}x{args.steps}steps",
-        "render": {
-            str(n): {
-                "seconds": round(render_times[n], 4),
-                "mrays_per_s": round(n_pix / render_times[n] / 1e6, 3),
-                "overhead_efficiency": round(t1r / render_times[n], 4),
-            }
-            for n in sizes
-        },
-        "inverse_step": {
-            str(n): {
-                "seconds": round(inverse_times[n], 4),
-                "overhead_efficiency": round(t1i / inverse_times[n], 4),
-            }
-            for n in sizes
-        },
+        "repeats": args.repeats,
+        "render": table(render_times),
+        "inverse_step": table(inverse_times),
         "note": (
-            "virtual-mesh overhead efficiency: t(1 dev)/t(n dev) on one host "
-            "(same total work; <1.0 = sharding overhead). Real ICI scaling "
+            "virtual-mesh overhead efficiency: t(1 dev)/t(n dev) medians on "
+            "one host (same total work; <1.0 = sharding overhead; >1.05 with "
+            "tight bars = measurement failure, rejected). Real ICI scaling "
             "needs multi-chip hardware."
         ),
     }
+    report["render"]["1"]["mrays_per_s"] = round(
+        n_pix / render_times[sizes[0]][0] / 1e6, 3
+    )
+    if not args.no_multihost and platform == "cpu":
+        # DCN bring-up path: jax.distributed over two local processes
+        report["multihost_init"] = _two_process_multihost_check()
     print(json.dumps(report))
     if args.out:
         with open(args.out, "w") as f:
