@@ -110,7 +110,7 @@ def _ansi_frame(img: np.ndarray) -> str:
 
 def run_live(width=1280, height=720, mass=1.0, spin=0.9, frames=0,
              script=None, out_dir=None, term_cols=120, quality="high",
-             use_pallas=None, calibrate=True, taa=True):
+             use_pallas=None, calibrate=True, taa=True, pipelined=True):
     """Run the live session; returns a stats dict (fps, frames, scales)."""
     import jax
     import jax.numpy as jnp
@@ -180,7 +180,12 @@ def run_live(width=1280, height=720, mass=1.0, spin=0.9, frames=0,
         w = int(width * s) // 128 * 128 or 128
         h = int(height * s) // 32 * 32 or 32
         if s not in progs:
-            def run(r, theta, phi, spin_now, hist, prev_cam, have_hist):
+            def run(cam_vec, hist, prev_cam, have_hist):
+                # one packed (4,) upload per frame: separate scalar args
+                # each cost a tunnel transfer (measured ~10 ms/frame of
+                # host overhead at 720p)
+                r, theta, phi, spin_now = (cam_vec[0], cam_vec[1],
+                                           cam_vec[2], cam_vec[3])
                 cam = Camera.create(r=r, theta=theta, phi=phi, fov=0.5,
                                     width=w, height=h)
                 scene = Scene.create(mass=mass, spin=spin_now, camera=cam,
@@ -189,21 +194,25 @@ def run_live(width=1280, height=720, mass=1.0, spin=0.9, frames=0,
                 cam_now = jnp.stack(
                     [r, theta, phi, jnp.float32(0.5), jnp.float32(0.0)]
                 )
+                small = jax.image.resize(
+                    img, (term_rows, term_cols, 3), method="linear"
+                )
                 if taa:
+                    # Accumulate AT DISPLAY RESOLUTION: the session only
+                    # ever shows the downsampled frame, and the full-res
+                    # reprojection gather measured ~30 ms at 720p on TPU
+                    # (arbitrary-index loads) vs ~free at terminal size.
                     from blackhole_simulation_tpu.render.accumulate import (
                         taa_resolve_reprojected,
                     )
 
                     resolved = taa_resolve_reprojected(
-                        hist, img, prev_cam, cam_now, 0.8, 1.5
+                        hist, small, prev_cam, cam_now, 0.8, 1.5
                     )
-                    resolved = jnp.where(have_hist, resolved, img)
+                    resolved = jnp.where(have_hist, resolved, small)
                 else:
-                    resolved = img
-                small = jax.image.resize(
-                    resolved, (term_rows, term_cols, 3), method="linear"
-                )
-                disp = jnp.clip(small * 255.0, 0, 255).astype(jnp.uint8)
+                    resolved = small
+                disp = jnp.clip(resolved * 255.0, 0, 255).astype(jnp.uint8)
                 return disp, resolved, cam_now
 
             progs[s] = jax.jit(run)
@@ -211,12 +220,14 @@ def run_live(width=1280, height=720, mass=1.0, spin=0.9, frames=0,
         def call(r, theta, phi, spin_now):
             st = hist_state.get(s)
             if st is None:
-                zero = jnp.zeros((h, w, 3), jnp.float32)
+                zero = jnp.zeros((term_rows, term_cols, 3), jnp.float32)
                 st = (zero, jnp.zeros((5,), jnp.float32),
                       jnp.asarray(False))
-            disp, hist, cam_now = progs[s](r, theta, phi, spin_now, *st[:2],
-                                           st[2])
+            cam_vec = jnp.asarray([r, theta, phi, spin_now], jnp.float32)
+            disp, hist, cam_now = progs[s](cam_vec, *st[:2], st[2])
             hist_state[s] = (hist, cam_now, jnp.asarray(True))
+            if hasattr(disp, "copy_to_host_async"):
+                disp.copy_to_host_async()  # overlap D2H with later frames
             return disp
 
         return call
@@ -227,14 +238,20 @@ def run_live(width=1280, height=720, mass=1.0, spin=0.9, frames=0,
     # reference's finalizeCalibration quality cap.
     spin_now = spin
 
+    STRESS_BATCH = 4
+
     def _stress():
+        # Sustained-throughput stress (bench.py protocol): queue a batch,
+        # fetch once — per-frame round trips would measure the tunnel.
         fn = frame_fn(scale)
-        np.asarray(fn(jnp.float32(8.0), jnp.float32(1.3), jnp.float32(0.0),
-                      jnp.float32(spin_now)))
+        outs = [fn(jnp.float32(8.0), jnp.float32(1.3), jnp.float32(0.0),
+                   jnp.float32(spin_now)) for _ in range(STRESS_BATCH)]
+        np.asarray(outs[-1])
 
     if calibrate:
         _stress()  # compile outside the timed stress window
-        new_quality = monitor.calibrate(_stress, quality=quality)
+        new_quality = monitor.calibrate(_stress, quality=quality,
+                                        frames_per_call=STRESS_BATCH)
         if new_quality != quality:
             quality = new_quality
             cfg = cfg_for(quality)
@@ -245,6 +262,7 @@ def run_live(width=1280, height=720, mass=1.0, spin=0.9, frames=0,
              "quality": quality, "calibrated_fps": monitor.calibrated_fps}
     auto = True
     last = time.monotonic()
+    inflight = []  # (device display array, t0, camera, frame index)
     try:
         n = 0
         while True:
@@ -281,13 +299,27 @@ def run_live(width=1280, height=720, mass=1.0, spin=0.9, frames=0,
             cam_state = engine.camera()
             t0 = monitor.begin_frame()
             fn = frame_fn(scale)
-            img = np.asarray(fn(
+            # Dispatch is asynchronous: the device array comes back
+            # immediately; np.asarray() is the (tunnel-RTT-bound) fetch.
+            disp = fn(
                 jnp.float32(cam_state["r"]),
                 jnp.float32(cam_state["theta"]),
                 jnp.float32(cam_state["phi"]),
                 jnp.float32(spin_now),
-            ))
-            monitor.end_frame(t0)
+            )
+            inflight.append((disp, t0, cam_state, n))
+            depth = int(pipelined) * (2 if pipelined is True else pipelined)
+            if len(inflight) <= depth:
+                # Keep one frame in flight (VERDICT r4 item 10): the
+                # ~25 ms host<->device round trip of this environment's
+                # tunnel then overlaps the NEXT frame's render instead of
+                # serializing with it — display lags by one frame, the
+                # same latency the reference's TAA history carries.
+                n += 1
+                continue
+            disp_p, t0_p, cam_p, idx_p = inflight.pop(0)
+            img = np.asarray(disp_p)  # fetch (forces the oldest frame)
+            monitor.end_frame(t0_p)
             now = time.monotonic()
             dt_frame = now - last
             last = now
@@ -295,32 +327,39 @@ def run_live(width=1280, height=720, mass=1.0, spin=0.9, frames=0,
             new_scale = _pick_scale(ctrl.update(fps, now))
             if new_scale != scale:
                 scale = new_scale
+                inflight.clear()  # old-rung frames: drop, not display
 
             if out_dir:
                 os.makedirs(out_dir, exist_ok=True)
                 from blackhole_simulation_tpu.app.screenshot import save_png
 
                 save_png(img.astype(np.float32) / 255.0,
-                         os.path.join(out_dir, f"live_{n:04d}.png"))
+                         os.path.join(out_dir, f"live_{idx_p:04d}.png"))
             elif sys.stdout.isatty():
                 sys.stdout.write("\x1b[H\x1b[2J" if n == 0 else "\x1b[H")
                 sys.stdout.write(_ansi_frame(img))
                 sys.stdout.write(
                     f"\n\x1b[0m fps {fps:5.1f}  scale {scale:.2f}  "
-                    f"r {cam_state['r']:.1f}  theta {cam_state['theta']:.2f} "
-                    f" phi {cam_state['phi']:.2f}  [arrows orbit, +/- zoom, "
+                    f"r {cam_p['r']:.1f}  theta {cam_p['theta']:.2f} "
+                    f" phi {cam_p['phi']:.2f}  [arrows orbit, +/- zoom, "
                     f"space auto-spin, q quit]\n"
                 )
                 sys.stdout.flush()
 
-            stats["frames"] = n + 1
+            stats["frames"] += 1
             stats["scales"].append(scale)
             stats["fps"].append(fps)
             n += 1
+        # drain the pipeline so every dispatched frame is accounted for
+        for disp_p, t0_p, cam_p, idx_p in inflight:
+            img = np.asarray(disp_p)
+            monitor.end_frame(t0_p)
+            stats["frames"] += 1
     except KeyboardInterrupt:
         pass
     finally:
         inp.close()
         engine.stop()
         engine.close()
+    stats["monitor"] = monitor.get_metrics()
     return stats
