@@ -438,18 +438,26 @@ def main() -> None:
                 )).astype(np.float32)
             sub = img[pix]
             d = np.abs(sub - orc).max(axis=1)
-            scale = float(np.abs(orc).mean()) + 1e-8
-            frac_ok = float(
-                (d < 1e-2 * (1.0 + np.abs(orc).max(axis=1))).mean()
-            )
-            trimmed = np.sort(d)[: int(d.size * 0.975)]
-            trimmed_rel = float(trimmed.mean() / scale)
+            om = np.abs(orc).max(axis=1)
+            frac_ok = float((d < 1e-2 * (1.0 + om)).mean())
+            # Quantile criteria (test_oracle_gate.py discipline): at 1080p
+            # ~93% of sampled pixels are near-black sky, so any mean-based
+            # relative statistic is denominator-dominated; gate on the
+            # absolute error quantile + the BRIGHT-pixel relative median.
+            abs_p99 = float(np.percentile(d, 99))
+            bright = om > 0.02
+            rel_bright_med = float(
+                np.median(d[bright] / (om[bright] + 1e-3))
+            ) if bright.any() else 0.0
             gate_1080p = {
                 "n_pixels": n_sub,
                 "config": "flagship 1920x1080 a=0.999 refined band<0.6",
                 "frac_ok": round(frac_ok, 4),
-                "trimmed_rel": round(trimmed_rel, 5),
-                "pass": bool(frac_ok > 0.98 and trimmed_rel < 1e-2),
+                "abs_err_p99": round(abs_p99, 5),
+                "rel_err_bright_median": round(rel_bright_med, 4),
+                "n_bright": int(bright.sum()),
+                "pass": bool(frac_ok > 0.98 and abs_p99 < 1e-2
+                             and rel_bright_med < 0.05),
                 "seconds": round(time.perf_counter() - t0, 1),
             }
             print(f"bench: gate_1080p {gate_1080p}", file=sys.stderr)
