@@ -234,6 +234,19 @@ def _grad_kernel(params_ref, y_ref, thr_ref, ctf_ref, ctc_ref, ctr_ref,
     def vjp_step(y6, hit, i, nc, ct6, ct_pph, ct_m, ct_a, ct_rh, ct_rph,
                  injected):
         """VJP of one step at the stored pre-state."""
+        if cfg.cotangent_clip > 0.0:
+            # Per-step adjoint clip — the kernel twin of the jnp path's
+            # clip_cotangent (render/march.py): bound each ray's 6-row
+            # carry-cotangent norm so chaotic near-critical rays cannot
+            # dominate aggregate parameter gradients. Applied to the
+            # INCOMING carry cotangent, exactly where the identity
+            # clip's transpose sits in the jnp body.
+            norm = jnp.sqrt(sum(c * c for c in ct6))
+            cscale = jnp.minimum(
+                jnp.asarray(1.0, norm.dtype),
+                cfg.cotangent_clip / jnp.maximum(norm, 1e-30),
+            )
+            ct6 = tuple(c * cscale for c in ct6)
         outs, vjp_fn, aux = jax.vjp(
             lambda y6_, pph_, m_, a_, rh_, rp_: composite(
                 y6_, pph_, m_, a_, rh_, rp_, thr, hit, i, nc

@@ -223,13 +223,22 @@ def _render_kernel(params_ref, *out_refs, cfg, features, disk,
         # Critical-band metric plane (precull.band_metric_values — same
         # expression DAG): the refinement pass compacts the pixels where
         # this is below MarchConfig.refine_band and re-marches them fine.
+        # The optional pole criterion folds in on the same scale.
         from blackhole_simulation_tpu.render.precull import (
             band_metric_values,
+            fold_pole_metric,
+            pole_w_min_values,
         )
 
-        band_ref[...] = band_metric_values(
+        d_band = band_metric_values(
             m, eta, cheb_raw, lam, sp(_P_LAM_LO), sp(_P_LAM_HI)
         )
+        if cfg.refine_pole_w > 0.0:
+            d_band = fold_pole_metric(
+                d_band, pole_w_min_values(m, a, lam, eta),
+                cfg.refine_band, cfg.refine_pole_w,
+            )
+        band_ref[...] = d_band
     if precull_on:
         eta_crit = cheb_raw - F(_CHEB_ERR) * m * m
         margin = F(0.04)

@@ -376,8 +376,10 @@ def fd_inverse_render(scene: Scene, target, n_steps=40,
 #     Measured: clip 0.03 + pool 4 at 64 steps -> AD/FD ratio in [0.8, 1.6]
 #     with the right sign at a in {0.5, 0.65, 0.75, 0.92}; clip 0 -> wrong
 #     sign at 3 of 4 probes.
-# The jnp march provides the clip (the Pallas replay VJP is exact and
-# unclipped, so the curriculum pins use_pallas off for its short marches).
+# Both march VJPs implement the clip: the jnp path via clip_cotangent and
+# the Pallas checkpoint/replay kernel per-step in vjp_step
+# (ops/pallas_grad.py, parity-tested) — so the curriculum runs at kernel
+# speed on TPU (the scene's use_pallas is honored).
 
 
 _AD_STAGES = ((64, 8), (96, 4), (128, 2))  # (march steps, pool k) per stage
@@ -397,7 +399,7 @@ def make_ad_inverse_step(scene: Scene, mesh: Mesh | None = None, lr=2e-2,
     assert h % pool == 0 and w % pool == 0, (h, w, pool)
     cfg = dataclasses.replace(
         scene.march_cfg, max_steps=march_steps, cotangent_clip=clip,
-        use_pallas=False, fused=False, refine_band=0.0, start_jitter=0.0,
+        fused=False, refine_band=0.0, start_jitter=0.0,
     )
     stage_scene = dataclasses.replace(scene, march_cfg=cfg)
 

@@ -155,6 +155,13 @@ class MarchConfig:
     refine_step_rate: float = 0.03
     refine_max_steps: int = 4096
     refine_max_step: float = 1.0
+    # Optional second refinement selector: also re-march rays whose
+    # closed-form minimum sin^2(theta) (precull.pole_w_min_values) is below
+    # this — polar-passing rays are the other family the coarse rate
+    # misclassifies (measured ~half of all out-of-band hit flips at 1080p
+    # a=0.999). Off by default: it multiplies the refined pixel count
+    # several-fold; enable for maximum-fidelity offline work.
+    refine_pole_w: float = 0.0
 
 
 def refinement_config(cfg: "MarchConfig") -> "MarchConfig":

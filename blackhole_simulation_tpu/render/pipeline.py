@@ -508,7 +508,10 @@ def render_sample(scene: Scene, jitter, dtype=jnp.float32) -> jnp.ndarray:
             critical_band_metric_u,
         )
 
-        band = critical_band_metric_u(bh.mass, bh.spin, rays_u)
+        band = critical_band_metric_u(
+            bh.mass, bh.spin, rays_u,
+            refine_band=cfg.refine_band, refine_pole_w=cfg.refine_pole_w,
+        )
         if use_pallas:
             band = from_block_order(band, h, w)
         out = refine_critical_band(scene, cfg, bh, dtype, jitter, out, band)

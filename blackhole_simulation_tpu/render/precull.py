@@ -196,13 +196,44 @@ def band_metric_values(m, eta, eta_crit_raw, lam, lam_lo, lam_hi):
     return d_eta + d_lam
 
 
-def critical_band_metric_u(m, a, yt_u: jnp.ndarray) -> jnp.ndarray:
+def pole_w_min_values(m, a, lam, eta):
+    """Minimum w = sin^2(theta) a ray can reach, from conserved (lam, eta).
+
+    The theta-potential (E = 1) Theta(u) = eta + (a^2 - eta - lam^2) u^2
+    - a^2 u^4 vanishes at u_max^2 = [b2 + sqrt(b2^2 + 4 a^2 eta)]/(2 a^2),
+    b2 = a^2 - eta - lam^2 — closed form, no marching. Rays with small
+    w_min pass near the coordinate axis, where the coarse-rate u-chart
+    integration is least accurate (measured r5: ~half of all out-of-band
+    hit-classification flips at 1080p a=0.999 are such rays). Used as the
+    optional second refinement selector (MarchConfig.refine_pole_w)."""
+    a2 = jnp.maximum(a * a, 1e-12)
+    b2 = a2 - eta - lam * lam
+    disc = jnp.sqrt(jnp.maximum(b2 * b2 + 4.0 * a2 * eta, 0.0))
+    umax2 = jnp.clip((b2 + disc) / (2.0 * a2), 0.0, 1.0)
+    return 1.0 - umax2
+
+
+def fold_pole_metric(d_band, w_min, refine_band: float, refine_pole_w: float):
+    """Fold the pole criterion into the band metric so ONE threshold
+    (refine_band) selects both families: w_min < refine_pole_w maps below
+    the threshold on the shared scale. Shared by the jnp path and the
+    fused kernel's band plane."""
+    if refine_pole_w <= 0.0:
+        return d_band
+    scale = refine_band / refine_pole_w
+    return jnp.minimum(d_band, w_min * scale)
+
+
+def critical_band_metric_u(m, a, yt_u: jnp.ndarray,
+                           refine_band: float = 0.0,
+                           refine_pole_w: float = 0.0) -> jnp.ndarray:
     """(N,) band metric d for (8, N) u-chart rows (see band_metric_values).
 
     Same conserved-quantity and Chebyshev-curve expressions as
     capture_mask_u; used by the staged render path to pick refinement rays
     (the fused kernel computes the identical metric in-kernel from its SMEM
-    coefficients)."""
+    coefficients). With ``refine_pole_w`` > 0 the pole criterion folds in
+    (fold_pole_metric)."""
     dtype = yt_u.dtype
     m = jnp.asarray(m, dtype)
     a_signed = jnp.asarray(a, dtype)
@@ -220,7 +251,11 @@ def critical_band_metric_u(m, a, yt_u: jnp.ndarray) -> jnp.ndarray:
     eta = q * inv_e * inv_e
     coeffs, c_mid, c_half, lam_lo, lam_hi = _eta_crit_cheb_coeffs(m, a)
     eta_crit_raw = _cheb_eval(coeffs, c_mid, c_half, lam)
-    return band_metric_values(m, eta, eta_crit_raw, lam, lam_lo, lam_hi)
+    d = band_metric_values(m, eta, eta_crit_raw, lam, lam_lo, lam_hi)
+    if refine_pole_w > 0.0:
+        w_min = pole_w_min_values(m, a, lam, eta)
+        d = fold_pole_metric(d, w_min, refine_band, refine_pole_w)
+    return d
 
 
 def _capture_core(m, a, a_signed, flip, r0, s2, c2, pt, pr, pth2, pph,

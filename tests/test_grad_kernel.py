@@ -107,3 +107,23 @@ class TestGradKernel:
         # d/d(mass) sums many near-cancelling per-ray terms; the two paths'
         # ulp streams differ (renorm boundary form), measured ~6e-3.
         assert rel < 2e-2
+
+    def test_cotangent_clip_matches_jnp(self):
+        """MarchConfig.cotangent_clip in the KERNEL VJP (r5): the per-step
+        adjoint clip must match the jnp path's clip_cotangent transpose —
+        this is what lets the AD inverse curriculum run at kernel speed."""
+        cfg = dc.replace(CFG, cotangent_clip=0.05)
+        spin = jnp.float32(0.9)
+        g_ref = jax.grad(lambda s: _loss(s, march_rows, cfg))(spin)
+        g_ker = jax.grad(
+            lambda s: _loss(s, lambda y, b, c: march_rows_ad(y, b, c), cfg)
+        )(spin)
+        rel = abs(float(g_ker) - float(g_ref)) / max(abs(float(g_ref)), 1e-9)
+        assert np.isfinite(float(g_ker))
+        # clip-threshold ulp flips loosen the bound vs the unclipped test
+        assert rel < 2e-2, (float(g_ref), float(g_ker))
+        # and the clip must actually change the gradient
+        g_unclipped = jax.grad(
+            lambda s: _loss(s, lambda y, b, c: march_rows_ad(y, b, c), CFG)
+        )(spin)
+        assert abs(float(g_ker) - float(g_unclipped)) > 1e-9
