@@ -396,7 +396,11 @@ def make_ad_inverse_step(scene: Scene, mesh: Mesh | None = None, lr=2e-2,
     and pools its own row slab; the parameter gradient is the psum).
     """
     h, w = scene.camera.height, scene.camera.width
-    assert h % pool == 0 and w % pool == 0, (h, w, pool)
+    # fit the pool to the frame: halve until it divides both dims (a 16x12
+    # CLI frame with the default 8-pool stage becomes 4; pool 1 = no-op)
+    while pool > 1 and (h % pool or w % pool):
+        pool //= 2
+    pool = max(pool, 1)
     cfg = dataclasses.replace(
         scene.march_cfg, max_steps=march_steps, cotangent_clip=clip,
         fused=False, refine_band=0.0, start_jitter=0.0,

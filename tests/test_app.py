@@ -173,8 +173,9 @@ class TestCLI:
         assert img.shape == (12, 16, 3)
 
     def test_inverse_tiny(self, capsys):
-        """The inverse subcommand drives the FD driver (train.py default)
-        end-to-end: two steps on a tiny frame must run and report JSON."""
+        """The inverse subcommand drives the production inverse path
+        (train.py default: the AD pooled-gradient curriculum) end-to-end:
+        two steps on a tiny odd-sized frame must run and report JSON."""
         code = main([
             "inverse", "--width", "16", "--height", "12", "--steps", "2",
             "--init-spin", "0.6", "--set", "quality=low",
