@@ -227,6 +227,18 @@ class TestADInverse:
     through the march — the short-horizon pooled curriculum — are the
     production method."""
 
+    @pytest.fixture(autouse=True)
+    def _fresh_caches(self):
+        # These tests compile the largest programs in the suite
+        # (shard_map(value_and_grad(march)) over 8 virtual devices); with
+        # ~200 tests' worth of live executables already cached, the XLA
+        # CPU compiler has been observed to SEGFAULT here (reproducibly in
+        # the full suite, never standalone). Dropping the accumulated
+        # executable cache first keeps the process inside the compiler's
+        # comfort zone.
+        jax.clear_caches()
+        yield
+
     def test_ad_step_gradient_points_into_basin(self):
         """One curriculum-stage Adam step must move spin TOWARD the target
         from both sides (the raw long-horizon AD step fails this with a
