@@ -15,8 +15,8 @@ The r5 "done" gate: band agreement >= 0.99 at 1080p a = 0.999 with the
 flagship throughput held (bench.py gate_band).
 
 Usage: python tools/band_agreement.py [--width 1920] [--height 1080]
-         [--spin 0.999] [--band 0.6] [--budget 65536] [--refine-rate 0.06]
-         [--refine-steps 1024] [--fine-rate 0.03]
+         [--spin 0.999] [--band 0.6] [--budget 65536] [--refine-rate 0.03]
+         [--refine-steps 4096] [--fine-rate 0.03]
 """
 
 from __future__ import annotations
@@ -27,7 +27,7 @@ import json
 
 
 def measure(width=1920, height=1080, spin=0.999, band_width=0.6,
-            budget=65536, refine_rate=0.06, refine_steps=1024,
+            budget=65536, refine_rate=0.03, refine_steps=4096,
             fine_rate=0.03, step_rate=0.2, max_steps=256, use_pallas=None):
     import jax
     import jax.numpy as jnp
@@ -108,8 +108,8 @@ def main():
     ap.add_argument("--spin", type=float, default=0.999)
     ap.add_argument("--band", type=float, default=0.6)
     ap.add_argument("--budget", type=int, default=65536)
-    ap.add_argument("--refine-rate", type=float, default=0.06)
-    ap.add_argument("--refine-steps", type=int, default=1024)
+    ap.add_argument("--refine-rate", type=float, default=0.03)
+    ap.add_argument("--refine-steps", type=int, default=4096)
     ap.add_argument("--fine-rate", type=float, default=0.03)
     ap.add_argument("--step-rate", type=float, default=0.2)
     a = ap.parse_args()
