@@ -8,6 +8,7 @@ single-device path — SURVEY.md §4 "multi-node without a cluster".
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from blackhole_simulation_tpu.parallel import (
     InverseParams,
