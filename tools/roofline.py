@@ -127,6 +127,16 @@ V5E_CLOCK_HZ = 1.5e9
 V5E_VPU_LANE_OPS_PER_CYCLE = 8 * 128 * 4
 V5E_VPU_PEAK_OPS = V5E_CLOCK_HZ * V5E_VPU_LANE_OPS_PER_CYCLE  # 6.1e12
 
+# EMPIRICAL ceiling (tools/vpu_peak.py, r5): a synthetic pure-FMA Pallas
+# kernel plateaus at ~2.15e12 lane-FMA/s on this chip across ILP widths
+# (8-32 chains x 4-32 unroll) — the derived 6.1e12 figure is NOT
+# achievable even by straight-line FMAs, so utilization is reported
+# against both. The march's 2.6e12 COUNTED lane-ops/s (mul and add
+# weighted separately) against a 2.15e12 issued-FMA roof means the kernel
+# is at/near the real machine ceiling once any mul+add fusion is
+# accounted for.
+V5E_VPU_MEASURED_FMA_PER_S = 2.15e12
+
 
 def mfu_report(width, height, steps, frame_seconds, cfg=None):
     """Assemble the roofline dict for the bench JSON."""
@@ -141,8 +151,16 @@ def mfu_report(width, height, steps, frame_seconds, cfg=None):
         "achieved_vector_ops_per_s": round(achieved / 1e12, 3),
         "vpu_peak_ops_per_s_assumed": round(V5E_VPU_PEAK_OPS / 1e12, 3),
         "vpu_util": round(achieved / V5E_VPU_PEAK_OPS, 4),
-        "note": "utilization vs derived v5e VPU peak (4096 lane-ops/cycle "
-                "@1.5GHz); FMA fusion puts true util in [1x, 2x] of this",
+        "vpu_measured_fma_per_s": round(V5E_VPU_MEASURED_FMA_PER_S / 1e12, 3),
+        "util_vs_measured_roof": round(
+            achieved / (2.0 * V5E_VPU_MEASURED_FMA_PER_S), 4
+        ),
+        "note": "vpu_util is vs the derived 6.1e12 lane-ops/s;"
+                " util_vs_measured_roof treats every counted mul+add pair"
+                " as fuseable against the EMPIRICAL 2.15e12 FMA/s ceiling"
+                " (tools/vpu_peak.py) — the true figure lies between the"
+                " two, i.e. the march is at 0.4-1.2x of what a pure-FMA"
+                " kernel can sustain on this chip",
         "unknown_prims": unknown or None,
     }
 
